@@ -1,0 +1,514 @@
+"""Base Bayesian Tensor Filtering model: state pytree + jitted Gibbs driver.
+
+TPU-native re-design of the reference's model layer
+(functionalmf/factor.py:23-284 and functionalmf/genlasso.py:5-136).
+
+Architecture deltas from the reference (deliberate; see SURVEY.md §7):
+
+* **State is a pytree, the sweep is a pure function.** The reference holds
+  mutable numpy arrays on a model object and mutates them in-place each
+  Gibbs step. Here all latent state lives in a dict of jnp arrays with a
+  leading *chain* axis, and each model builds ``sweep(state, data, key) ->
+  state`` which `run_gibbs` drives with `lax.fori_loop`/`lax.scan` inside a
+  single jit compilation.
+* **Batch, don't fan out.** Per-row / per-column updates are vmapped into
+  batched dense linear algebra instead of Python loops or worker processes
+  (factor.py:313-409, 984-1000).
+* **Counter-based RNG.** Every stochastic site derives its key from
+  ``jax.random.fold_in`` of a per-sweep key, replacing global numpy RNG.
+* **Chains are a first-class axis** (the genlasso.py:38 TODO): all state
+  carries a leading ``nchains`` axis, vmapped and (optionally) sharded over
+  a device mesh.
+
+API parity preserved: constructor kwargs (the ``X_true`` fix-vs-``X_init``
+initialize pattern, factor.py:26-36), ``run_gibbs(data, nburn, nthin,
+nsamples, callback)`` returning a dict of posterior draws keyed
+'W'/'V'/'Tau2'/'lam2'/'sigma2' (+model extras), and
+``select_hyperparams_DIC`` (genlasso.py:69-136).
+"""
+from __future__ import annotations
+
+import itertools
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from functionalmf_tpu.ops.penalty import bayes_grid_penalty
+from functionalmf_tpu.ops.mvn import sample_mvn_from_precision
+from functionalmf_tpu.samplers.horseshoe import (
+    sample_horseshoe,
+    sample_horseshoe_plus,
+    resample_tau2_ladder,
+    resample_lam2,
+)
+from functionalmf_tpu.samplers.conjugate import ConjugateInverseGammaPrior
+
+__all__ = ["BayesianTensorFiltering", "tril_mask", "packed_w_len"]
+
+
+def tril_mask(nrows: int, nembeds: int, dtype=jnp.float32):
+    """Structural mask of the lower-triangular-identified W (factor.py:155-174).
+
+    mask[i, a] = 1 iff embedding a is active for row i, i.e. a <= i. Rows
+    i >= nembeds are fully dense. Replaces the reference's ragged
+    pack/unpack with fixed-shape masking.
+    """
+    i = np.arange(nrows)[:, None]
+    a = np.arange(nembeds)[None, :]
+    return jnp.asarray((a <= i).astype(np.float32)).astype(dtype)
+
+
+def packed_w_len(nrows: int, nembeds: int) -> int:
+    """Length of the packed W vector (factor.py:155-163)."""
+    if nrows >= nembeds:
+        return (nembeds * nembeds - nembeds) // 2 + nembeds + (nrows - nembeds) * nembeds
+    return (nrows * nrows - nrows) // 2 + nrows
+
+
+def _fold(key, *ints):
+    for i in ints:
+        key = jax.random.fold_in(key, i)
+    return key
+
+
+class BayesianTensorFiltering:
+    """Abstract BTF base (reference factor.py:23-284).
+
+    Subclasses implement ``_make_sweep()`` returning a pure per-chain sweep
+    function, ``prepare_data(data)``, and ``_collect_keys``.
+    """
+
+    _collect_keys = ("W", "V", "sigma2", "lam2", "Tau2")
+
+    def __init__(self, nrows, ncols, ndepth,
+                 nembeds=5, tf_order=2,
+                 sigma2_init=None, sigma2_true=None,
+                 sigma2_a=0.1, sigma2_b=0.1,
+                 lam2_init=None, lam2_true=None,
+                 Tau2_init=None, Tau2_true=None,
+                 W_init=None, V_init=None,
+                 W_true=None, V_true=None,
+                 stability=1e-6,
+                 force_psd=True,
+                 force_psd_eps=1e-6,
+                 force_psd_attempts=4,
+                 dtype=jnp.float32,
+                 seed=0,
+                 nchains=1,
+                 mesh=None,
+                 nthreads=None,  # accepted for API parity; parallelism is on-device
+                 **kwargs):
+        self.nrows = int(nrows)
+        self.ncols = int(ncols)
+        self.ndepth = int(ndepth)
+        self.nembeds = int(nembeds)
+        self.tf_order = int(tf_order)
+        self.stability = float(stability)
+        self.dtype = dtype
+        self.nchains = int(nchains)
+        self.mesh = mesh
+        self.linalg_opts = dict(
+            force_psd=force_psd,
+            force_psd_eps=force_psd_eps,
+            force_psd_attempts=force_psd_attempts,
+        )
+
+        # Trend filtering prior (factor.py:50), dense: nD x ndepth.
+        self.Delta_np = bayes_grid_penalty(ndepth, tf_order)
+        self.Delta = jnp.asarray(self.Delta_np, dtype=dtype)
+        self.nD = self.Delta_np.shape[0]
+
+        self.sigma2_a = sigma2_a
+        self.sigma2_b = sigma2_b
+        self.sigma2_model = ConjugateInverseGammaPrior(1, sigma2_a, sigma2_b)
+
+        self._base_key = jax.random.PRNGKey(seed)
+        self._init_counter = 0  # distinct keys for repeated re-inits
+        self._wmask = tril_mask(self.nrows, self.nembeds, dtype)
+        self._w_len = packed_w_len(self.nrows, self.nembeds)
+
+        state = {}
+        ck = self._next_init_keys()
+
+        # sigma2 (factor.py:53-64)
+        if sigma2_true is not None:
+            state["sigma2"] = self._chain_full((), sigma2_true)
+            self.sample_sigma2 = False
+        else:
+            self.sample_sigma2 = True
+            if sigma2_init is not None:
+                state["sigma2"] = self._chain_full((), sigma2_init)
+            else:
+                state["sigma2"] = self._init_sigma2_val(ck)
+
+        # lam2 (factor.py:66-74): note the reference *always* initializes the
+        # auxiliary lam2_a even when lam2_init overrides lam2.
+        lam2, lam2_a = self._init_lam2_val(ck)
+        if lam2_true is not None:
+            state["lam2"] = self._chain_full((), lam2_true)
+            state["lam2_a"] = lam2_a
+            self.sample_lam2 = False
+        else:
+            self.sample_lam2 = True
+            state["lam2"] = self._chain_full((), lam2_init) if lam2_init is not None else lam2
+            state["lam2_a"] = lam2_a
+
+        # Tau2 horseshoe+ ladder (factor.py:76-86)
+        t2, t2c, t2b, t2a = self._init_tau2_val(ck)
+        if Tau2_true is not None:
+            state["Tau2"] = self._chain_broadcast(Tau2_true, (self.ncols, self.nD))
+            self.sample_Tau2 = False
+        else:
+            self.sample_Tau2 = True
+            state["Tau2"] = (self._chain_broadcast(Tau2_init, (self.ncols, self.nD))
+                             if Tau2_init is not None else t2)
+        state["Tau2_c"], state["Tau2_b"], state["Tau2_a"] = t2c, t2b, t2a
+
+        # W (factor.py:88-98)
+        if W_true is not None:
+            state["W"] = self._chain_broadcast(W_true, (self.nrows, self.nembeds))
+            self.sample_W = False
+        else:
+            self.sample_W = True
+            if W_init is not None:
+                state["W"] = self._chain_broadcast(W_init, (self.nrows, self.nembeds))
+            else:
+                state["W"] = self._init_W_val(ck, state["sigma2"])
+
+        # V (factor.py:100-110)
+        if V_true is not None:
+            state["V"] = self._chain_broadcast(V_true, (self.ncols, self.ndepth, self.nembeds))
+            self.sample_V = False
+        else:
+            self.sample_V = True
+            if V_init is not None:
+                state["V"] = self._chain_broadcast(V_init, (self.ncols, self.ndepth, self.nembeds))
+            else:
+                state["V"] = self._init_V_val(ck, state["lam2"], state["Tau2"])
+
+        self._state = state
+
+    # ------------------------------------------------------------------
+    # init helpers (match reference init distributions)
+    # ------------------------------------------------------------------
+    def _next_init_keys(self):
+        self._init_counter += 1
+        k = _fold(self._base_key, 0xC0FFEE, self._init_counter)
+        return jax.vmap(lambda c: _fold(k, c))(jnp.arange(self.nchains, dtype=jnp.uint32))
+
+    def _chain_full(self, shape, value):
+        return jnp.broadcast_to(jnp.asarray(value, self.dtype), (self.nchains,) + shape).copy()
+
+    def _chain_broadcast(self, value, shape):
+        v = jnp.asarray(value, self.dtype)
+        if v.shape == (self.nchains,) + shape:
+            return v
+        assert v.shape == shape, f"expected {shape} or {(self.nchains,) + shape}, got {v.shape}"
+        return jnp.broadcast_to(v, (self.nchains,) + shape).copy()
+
+    def _init_sigma2_val(self, chain_keys):
+        # factor.py:252-253: sigma2 = 1 / IG-prior draw
+        def f(k):
+            return 1.0 / self.sigma2_model.draw_from_prior(_fold(k, 1))
+        return jax.vmap(f)(chain_keys).astype(self.dtype)
+
+    def _init_lam2_val(self, chain_keys):
+        # factor.py:248-250
+        def f(k):
+            lam2, lam2_a = sample_horseshoe(_fold(k, 2))
+            return jnp.clip(lam2, 0, 4), lam2_a
+        lam2, lam2_a = jax.vmap(f)(chain_keys)
+        return lam2.astype(self.dtype), lam2_a.astype(self.dtype)
+
+    def _init_tau2_val(self, chain_keys):
+        # factor.py:244-246
+        def f(k):
+            d, c, b, a = sample_horseshoe_plus(_fold(k, 3), size=(self.ncols, self.nD))
+            return jnp.clip(d, 0, 9), c, b, a
+        t = jax.vmap(f)(chain_keys)
+        return tuple(x.astype(self.dtype) for x in t)
+
+    def _init_W_val(self, chain_keys, sigma2):
+        # factor.py:230-233
+        def f(k, s2):
+            W = jax.random.normal(_fold(k, 4), (self.nrows, self.nembeds)) * jnp.sqrt(s2)
+            return W * self._wmask if self.nrows > 1 else W
+        return jax.vmap(f)(chain_keys, sigma2).astype(self.dtype)
+
+    def _init_V_val(self, chain_keys, lam2, Tau2):
+        # factor.py:235-242: V_j ~ N(0, Q_j^-1), Q_j = kron(I_k, D^T Lam_j D)
+        def f(k, l2, T2):
+            Q = self._v_prior_precision(l2, T2)  # (ncols, kT, kT)
+            keys = jax.vmap(lambda j: _fold(k, 5, j))(jnp.arange(self.ncols, dtype=jnp.uint32))
+            x = jax.vmap(lambda kk, q: sample_mvn_from_precision(kk, q, **self.linalg_opts))(keys, Q)
+            V = x.reshape(self.ncols, self.nembeds, self.ndepth).transpose(0, 2, 1)
+            return jnp.clip(V, -10, 10)
+        return jax.vmap(f)(chain_keys, lam2, Tau2).astype(self.dtype)
+
+    # Re-init entry points used by example/app code (poisson example:58-81).
+    def _init_sigma2(self):
+        self._state["sigma2"] = self._init_sigma2_val(self._next_init_keys())
+
+    def _init_lam2(self):
+        lam2, lam2_a = self._init_lam2_val(self._next_init_keys())
+        self._state["lam2"], self._state["lam2_a"] = lam2, lam2_a
+
+    def _init_Tau2(self):
+        t2, c, b, a = self._init_tau2_val(self._next_init_keys())
+        self._state["Tau2"], self._state["Tau2_c"] = t2, c
+        self._state["Tau2_b"], self._state["Tau2_a"] = b, a
+
+    def _init_W(self):
+        self._state["W"] = self._init_W_val(self._next_init_keys(), self._state["sigma2"])
+
+    def _init_V(self):
+        self._state["V"] = self._init_V_val(
+            self._next_init_keys(), self._state["lam2"], self._state["Tau2"])
+
+    # ------------------------------------------------------------------
+    # state access (reference exposes mutable attributes; we expose
+    # properties with assignment — `model.W = value`)
+    # ------------------------------------------------------------------
+    @property
+    def state(self):
+        return self._state
+
+    def _get_var(self, name):
+        v = self._state[name]
+        if self.nchains == 1:
+            v = v[0]
+        return np.asarray(v)
+
+    def _set_var(self, name, value):
+        shape = self._state[name].shape[1:]
+        self._state[name] = self._chain_broadcast(np.asarray(value, dtype=np.float32), shape)
+
+    W = property(lambda s: s._get_var("W"), lambda s, v: s._set_var("W", v))
+    V = property(lambda s: s._get_var("V"), lambda s, v: s._set_var("V", v))
+    Tau2 = property(lambda s: s._get_var("Tau2"), lambda s, v: s._set_var("Tau2", v))
+    lam2 = property(lambda s: s._get_var("lam2"), lambda s, v: s._set_var("lam2", v))
+    sigma2 = property(lambda s: s._get_var("sigma2"), lambda s, v: s._set_var("sigma2", v))
+
+    # ------------------------------------------------------------------
+    # shared prior-block updates (factor.py:112-153)
+    # ------------------------------------------------------------------
+    def _v_prior_weights(self, lam2, Tau2):
+        """diag weights 1/(lam2 * Tau2_j), clipped (factor.py:186, 767)."""
+        lo, hi = self.stability, 1.0 / self.stability
+        return jnp.clip(1.0 / jnp.clip(lam2 * Tau2, lo, hi), lo, hi)
+
+    def _v_prior_dtld(self, lam2, Tau2):
+        """D^T Lam_j D per column: (ncols, T, T)."""
+        w = self._v_prior_weights(lam2, Tau2)  # (ncols, nD)
+        return jnp.einsum("dt,jd,ds->jts", self.Delta, w, self.Delta)
+
+    def _v_prior_precision(self, lam2, Tau2):
+        """kron(I_k, D^T Lam_j D) dense: (ncols, kT, kT) (factor.py:176-194)."""
+        DtLD = self._v_prior_dtld(lam2, Tau2)
+        I_k = jnp.eye(self.nembeds, dtype=self.dtype)
+        kT = self.nembeds * self.ndepth
+        Q = jnp.einsum("ab,jts->jatbs", I_k, DtLD)
+        return Q.reshape(self.ncols, kT, kT)
+
+    def _update_sigma2(self, state, key):
+        """IG update on packed W (factor.py:130-132)."""
+        W = state["W"]
+        mask = self._wmask
+        sq = jnp.sum((W * mask) ** 2)
+        prec = jax.random.gamma(key, self.sigma2_a + self._w_len / 2.0) / (
+            self.sigma2_b + sq / 2.0)
+        return dict(state, sigma2=(1.0 / prec).astype(self.dtype))
+
+    def _update_tau2(self, state, key):
+        deltas = jnp.einsum("dt,jtk->jdk", self.Delta, state["V"])
+        deltas_sq = jnp.sum(deltas * deltas, axis=-1)
+        t2, c, b, a = resample_tau2_ladder(
+            key, deltas_sq, state["lam2"], state["Tau2"], state["Tau2_c"],
+            state["Tau2_b"], state["Tau2_a"], self.nembeds, self.stability)
+        return dict(state, Tau2=t2.astype(self.dtype), Tau2_c=c.astype(self.dtype),
+                    Tau2_b=b.astype(self.dtype), Tau2_a=a.astype(self.dtype))
+
+    def _update_lam2(self, state, key):
+        deltas = jnp.einsum("dt,jtk->jdk", self.Delta, state["V"])
+        s = jnp.sum(deltas * deltas / jnp.clip(state["Tau2"], self.stability,
+                                               1 / self.stability)[..., None])
+        lam2, lam2_a = resample_lam2(key, s, state["lam2_a"], self.nD,
+                                     self.ncols, self.nembeds)
+        return dict(state, lam2=lam2.astype(self.dtype), lam2_a=lam2_a.astype(self.dtype))
+
+    def _prior_sweep(self, state, data, key, update_W, update_V):
+        """Shared resample dispatch, order per factor.py:112-128."""
+        if self.sample_sigma2:
+            state = self._update_sigma2(state, _fold(key, 11))
+        if self.sample_Tau2:
+            state = self._update_tau2(state, _fold(key, 12))
+        if self.sample_lam2:
+            state = self._update_lam2(state, _fold(key, 13))
+        if self.sample_W:
+            state = update_W(state, data, _fold(key, 14))
+        if self.sample_V:
+            state = update_V(state, data, _fold(key, 15))
+        return state
+
+    # ------------------------------------------------------------------
+    # abstract pieces
+    # ------------------------------------------------------------------
+    def prepare_data(self, data):
+        raise NotImplementedError
+
+    def _make_sweep(self):
+        """Return sweep(state, pdata, key) -> state for a single chain."""
+        raise NotImplementedError
+
+    def logprob(self, data, **params):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Gibbs driver (genlasso.py:37-66 semantics)
+    # ------------------------------------------------------------------
+    def _sample_flags(self):
+        return (self.sample_sigma2, self.sample_Tau2, self.sample_lam2,
+                self.sample_W, self.sample_V)
+
+    def _shard_state(self, state):
+        if self.mesh is not None and self.nchains > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = self.mesh.axis_names[0]
+            sharding = NamedSharding(self.mesh, P(axis))
+            state = {k: jax.device_put(v, sharding) for k, v in state.items()}
+        return state
+
+    def _collect(self, state):
+        return {k: state[k] for k in self._collect_keys}
+
+    def run_gibbs(self, data, nburn=1000, nthin=1, nsamples=1000, verbose=True,
+                  print_freq=100, callback=None, key=None, **kwargs):
+        """Blocked Gibbs: burn-in, then nsamples thinned draws.
+
+        Returns a dict of numpy arrays with a leading sample axis; with
+        nchains > 1 the chains are concatenated along the sample axis
+        (chain-major), matching how the reference's examples concatenate
+        chains (examples/poisson_tensor_filtering.py:260-265).
+        """
+        if key is None:
+            key = _fold(self._base_key, 0x515B5)
+        pdata = self.prepare_data(data)
+        sweep = self._make_sweep()
+        vsweep = jax.vmap(sweep, in_axes=(0, None, 0))
+
+        def step_keys(step):
+            base = _fold(key, step)
+            return jax.vmap(lambda c: jax.random.fold_in(base, c))(
+                jnp.arange(self.nchains, dtype=jnp.uint32))
+
+        state = self._shard_state(self._state)
+
+        if callback is None:
+            collect_keys = self._collect_keys
+
+            @partial(jax.jit, static_argnames=("nburn", "nthin", "nsamples"))
+            def run(state, pdata, nburn, nthin, nsamples):
+                def one(step, st):
+                    return vsweep(st, pdata, step_keys(step))
+
+                state = jax.lax.fori_loop(0, nburn, one, state)
+
+                def body(st, t):
+                    def inner(i, s):
+                        return one(nburn + t * nthin + i, s)
+                    st = jax.lax.fori_loop(0, nthin, inner, st)
+                    return st, {k: st[k] for k in collect_keys}
+
+                state, outs = jax.lax.scan(body, state, jnp.arange(nsamples))
+                return state, outs
+
+            state, outs = run(state, pdata, int(nburn), int(nthin), int(nsamples))
+            self._state = state
+            return self._format_results(outs, nsamples)
+
+        # Callback path: per-step host loop (callback may mutate model state,
+        # e.g. doseresponse/fit.py:102-150 resamples side variables).
+        nsteps = nburn + nthin * nsamples
+        jsweep = jax.jit(vsweep)
+        outs_host = None
+        for step in range(nsteps):
+            if verbose and step % print_freq == 0:
+                print("\tStep {}".format(step))
+            self._state = jsweep(self._state, pdata, step_keys(step))
+            callback(self, data, step, **kwargs)
+            if step >= nburn and (step - nburn) % nthin == 0:
+                sidx = (step - nburn) // nthin
+                snap = jax.device_get(self._collect(self._state))
+                if outs_host is None:
+                    outs_host = {k: np.zeros((nsamples,) + np.shape(v))
+                                 for k, v in snap.items()}
+                for k, v in snap.items():
+                    outs_host[k][sidx] = v
+        outs = {k: jnp.asarray(v) for k, v in outs_host.items()}
+        return self._format_results(outs, nsamples)
+
+    def _format_results(self, outs, nsamples):
+        """(nsamples, nchains, ...) device outputs -> reference-shaped numpy."""
+        results = {}
+        for k, v in outs.items():
+            v = np.asarray(jax.device_get(v))
+            # chain-major concatenation
+            v = np.swapaxes(v, 0, 1).reshape((self.nchains * nsamples,) + v.shape[2:])
+            if v.ndim == 1:  # scalars stored as (nsamples, 1) (genlasso.py:61)
+                v = v[:, None]
+            results[k] = v
+        return results
+
+    # ------------------------------------------------------------------
+    # DIC hyperparameter selection (genlasso.py:69-136)
+    # ------------------------------------------------------------------
+    def _default_hyperparam_options(self, hyperparams, lam2=None,
+                                    min_lam2=1e-6, max_lam2=1e3, num_lam2=10,
+                                    **kwargs):
+        # factor.py:267-275 (with the undefined-`lam` bug fixed: test lam2)
+        if lam2 is None:
+            hyperparams["lam2"] = np.exp(np.linspace(np.log(min_lam2),
+                                                     np.log(max_lam2),
+                                                     num_lam2))[::-1]
+        else:
+            hyperparams["lam2"] = lam2
+
+    def _set_hyperparameters(self, hyperparams):
+        self._state["lam2"] = self._chain_full((), hyperparams["lam2"])
+
+    def select_hyperparams_DIC(self, data, verbose=True, **kwargs):
+        """DIC grid search (genlasso.py:69-136)."""
+        hyperparam_options = {}
+        run_kwarg_names = ("nburn", "nthin", "nsamples", "print_freq", "callback")
+        run_kwargs = {k: kwargs.pop(k) for k in run_kwarg_names if k in kwargs}
+        self._default_hyperparam_options(hyperparam_options, **kwargs)
+
+        param_names = list(hyperparam_options.keys())
+        param_options = [hyperparam_options[n] for n in param_names]
+        all_indices = [d for d in np.ndindex(*[len(p) for p in param_options])]
+        dic_scores = np.zeros(len(all_indices))
+        best_results, best_score, best_idx = None, None, None
+
+        for score_idx, indices in enumerate(all_indices):
+            cur = {param_names[p]: param_options[p][i] for p, i in enumerate(indices)}
+            if verbose:
+                print(" ".join(f"{k}={v}" for k, v in cur.items()))
+            self._set_hyperparameters(cur)
+            results = self.run_gibbs(data, verbose=False, **run_kwargs)
+            nsamples = next(iter(results.values())).shape[0]
+            mean_results = {k: v.mean(axis=0) for k, v in results.items()}
+            D_mean = -2 * self.logprob(data, **mean_results)
+            mean_D = -2 * np.mean([
+                self.logprob(data, **{k: v[i] for k, v in results.items()})
+                for i in range(nsamples)])
+            dic_scores[score_idx] = 2 * mean_D - D_mean
+            if best_score is None or dic_scores[score_idx] < best_score:
+                best_results, best_score, best_idx = results, dic_scores[score_idx], score_idx
+
+        best = {param_names[p]: param_options[p][i]
+                for p, i in enumerate(all_indices[best_idx])}
+        self._set_hyperparameters(best)
+        return {"scores": dic_scores, "options": hyperparam_options,
+                "best": best, "fit": best_results}

@@ -1,0 +1,140 @@
+"""Gaussian BTF correctness tests.
+
+Sharp conditional checks: with everything but one block fixed at the truth,
+the Gibbs draws for that block are exact conjugate posteriors with closed
+forms (factor.py:313-409), so posterior means must match to MC error.
+Plus an end-to-end recovery smoke test mirroring
+examples/gaussian_tensor_filtering.py.
+"""
+import numpy as np
+import pytest
+
+from functionalmf_tpu import GaussianBayesianTensorFiltering
+
+
+def _make_data(rng, nrows=6, ncols=5, ndepth=8, nembeds=2, nu2=0.25, nrep=2):
+    W = rng.normal(size=(nrows, nembeds))
+    W[np.triu_indices(nembeds, k=1)] = 0
+    V = rng.normal(size=(ncols, ndepth, nembeds))
+    Mu = np.einsum("nk,mtk->nmt", W, V)
+    Y = rng.normal(Mu[..., None], np.sqrt(nu2), size=(nrows, ncols, ndepth, nrep))
+    return W, V, Mu, Y
+
+
+def test_w_conditional_posterior_mean(rng):
+    nrows, ncols, ndepth, nembeds, nu2 = 6, 5, 8, 2, 0.25
+    W, V, Mu, Y = _make_data(rng, nrows, ncols, ndepth, nembeds, nu2)
+    Y[0, :2] = np.nan  # missing block
+    sigma2 = 0.7
+
+    model = GaussianBayesianTensorFiltering(
+        nrows, ncols, ndepth, nembeds=nembeds,
+        V_true=V, Tau2_true=np.ones((ncols, model_nd(ndepth))), lam2_true=1.0,
+        sigma2_true=sigma2, nu2_true=nu2, seed=3)
+    res = model.run_gibbs(Y, nburn=50, nthin=1, nsamples=3000, verbose=False)
+    Ws = res["W"]
+
+    # closed-form ridge posterior per row (factor.py:349-362)
+    obs = ~np.isnan(Y)
+    counts = obs.sum(-1)
+    ymean = np.where(counts > 0, np.nansum(np.nan_to_num(Y), -1) / np.maximum(counts, 1), 0)
+    for i in range(nrows):
+        nd = min(i + 1, nembeds)
+        Vf = V.reshape(-1, nembeds)[:, :nd]
+        w8 = (counts[i] / nu2).reshape(-1)
+        Q = (Vf * w8[:, None]).T @ Vf + np.eye(nd) / sigma2
+        mu = np.linalg.solve(Q, Vf.T @ (w8 * ymean[i].reshape(-1)))
+        se = np.sqrt(np.diag(np.linalg.inv(Q)) / Ws.shape[0]) * 6 + 1e-3
+        np.testing.assert_array_less(np.abs(Ws[:, i, :nd].mean(0) - mu), se)
+        # masked entries exactly zero
+        assert np.all(Ws[:, i, nd:] == 0)
+
+
+def model_nd(ndepth, tf_order=2):
+    from functionalmf_tpu.ops.penalty import num_penalty_rows
+    return num_penalty_rows(ndepth, tf_order)
+
+
+def test_v_conditional_posterior_mean(rng):
+    nrows, ncols, ndepth, nembeds, nu2 = 6, 4, 6, 2, 0.25
+    W, V, Mu, Y = _make_data(rng, nrows, ncols, ndepth, nembeds, nu2)
+    Y[1, 0] = np.nan
+    nD = model_nd(ndepth)
+    Tau2 = np.ones((ncols, nD))
+    lam2 = 0.5
+
+    model = GaussianBayesianTensorFiltering(
+        nrows, ncols, ndepth, nembeds=nembeds,
+        W_true=W, Tau2_true=Tau2, lam2_true=lam2,
+        sigma2_true=1.0, nu2_true=nu2, seed=4)
+    res = model.run_gibbs(Y, nburn=50, nthin=1, nsamples=3000, verbose=False)
+    Vs = res["V"]
+
+    # closed-form GLS posterior per column (factor.py:394-409)
+    from functionalmf_tpu.ops.penalty import bayes_grid_penalty
+    Delta = bayes_grid_penalty(ndepth, 2)
+    obs = ~np.isnan(Y)
+    counts = obs.sum(-1)
+    ymean = np.where(counts > 0, np.nansum(np.nan_to_num(Y), -1) / np.maximum(counts, 1), 0)
+    I_T = np.eye(ndepth)
+    X = np.kron(W, I_T)  # (n*T, k*T) embed-major columns
+    for j in range(ncols):
+        w8 = (counts[:, j] / nu2).reshape(-1)
+        Q_lik = (X * w8[:, None]).T @ X
+        DtLD = Delta.T @ np.diag(1.0 / (lam2 * Tau2[j])) @ Delta
+        Q = Q_lik + np.kron(np.eye(nembeds), DtLD)
+        mu = np.linalg.solve(Q, X.T @ (w8 * ymean[:, j].reshape(-1)))
+        mu_V = mu.reshape(nembeds, ndepth).T
+        sd = np.sqrt(np.diag(np.linalg.inv(Q))).reshape(nembeds, ndepth).T
+        se = sd / np.sqrt(Vs.shape[0]) * 6 + 2e-3
+        np.testing.assert_array_less(np.abs(Vs[:, j].mean(0) - mu_V), se)
+
+
+def test_end_to_end_recovery(rng):
+    nrows, ncols, ndepth, nembeds, nu2 = 8, 6, 10, 2, 0.5
+    W, V, Mu, Y = _make_data(rng, nrows, ncols, ndepth, nembeds, nu2, nrep=3)
+    Ym = Y.copy()
+    Ym[:2, :2] = np.nan  # hold out a block
+
+    model = GaussianBayesianTensorFiltering(
+        nrows, ncols, ndepth, nembeds=nembeds, sigma2_init=0.5,
+        lam2_init=0.1, nu2_init=1.0, seed=0)
+    res = model.run_gibbs(Ym, nburn=400, nthin=1, nsamples=400, verbose=False)
+
+    Mu_hat = np.einsum("znk,zmtk->znmt", res["W"], res["V"]).mean(0)
+    # fitted cells should be close; held-out block should still track truth
+    fit_rmse = np.sqrt(np.mean((Mu_hat[2:, 2:] - Mu[2:, 2:]) ** 2))
+    hold_rmse = np.sqrt(np.mean((Mu_hat[:2, :2] - Mu[:2, :2]) ** 2))
+    base = np.sqrt(np.mean(Mu**2))
+    assert fit_rmse < 0.35 * base, (fit_rmse, base)
+    assert hold_rmse < 0.9 * base, (hold_rmse, base)
+    # noise variance recovered
+    nu2_hat = res["nu2"].mean()
+    assert 0.5 * nu2 < nu2_hat < 2.0 * nu2
+
+    # results dict matches the reference's key set and shapes
+    assert res["W"].shape == (400, nrows, nembeds)
+    assert res["V"].shape == (400, ncols, ndepth, nembeds)
+    assert res["lam2"].shape == (400, 1)
+    assert res["sigma2"].shape == (400, 1)
+    assert res["Tau2"].shape[1:] == (ncols, model_nd(ndepth))
+
+
+def test_multichain_shapes(rng):
+    _, _, _, Y = _make_data(rng, 4, 3, 5, 2)
+    model = GaussianBayesianTensorFiltering(4, 3, 5, nembeds=2, nchains=3, seed=1)
+    res = model.run_gibbs(Y, nburn=10, nthin=1, nsamples=5, verbose=False)
+    assert res["W"].shape == (15, 4, 2)
+    assert res["sigma2"].shape == (15, 1)
+    # chains differ (independent inits / keys)
+    assert not np.allclose(res["W"][0], res["W"][5])
+
+
+def test_callback_path(rng):
+    _, _, _, Y = _make_data(rng, 4, 3, 5, 2)
+    model = GaussianBayesianTensorFiltering(4, 3, 5, nembeds=2, seed=1)
+    steps = []
+    res = model.run_gibbs(Y, nburn=4, nthin=2, nsamples=3, verbose=False,
+                          callback=lambda m, d, s: steps.append(s))
+    assert steps == list(range(4 + 2 * 3))
+    assert res["W"].shape == (3, 4, 2)

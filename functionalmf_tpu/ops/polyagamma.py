@@ -1,0 +1,89 @@
+"""Pure-JAX Polya-Gamma sampler.
+
+TPU-native replacement for the reference's native pypolyagamma dependency
+(C++/Cython, used at functionalmf/factor.py:431-432, 458-460 for the
+Binomial / Negative-Binomial augmentation). The reference draws from a
+single seeded sequential-stream RNG (`PyPolyaGamma(seed)`); here every draw
+is counter-based (`jax.random`), fully vectorized over the whole tensor,
+and jit/vmap-compatible.
+
+Method: truncated sum-of-gammas representation with an exact tail-mean
+correction. PG(b, c) is an infinite convolution (Polson, Scott & Windle
+2013, eq. 3):
+
+    omega = (1 / (2 pi^2)) * sum_{k>=1} g_k / ((k - 1/2)^2 + c^2 / (4 pi^2)),
+    g_k ~ Gamma(b, 1)  independent.
+
+We draw the first `num_terms` terms exactly and add the *expected value* of
+the discarded tail, computed in closed form from E[PG(b, c)] =
+b / (2c) * tanh(c / 2). The mean is therefore exact for every (b, c); the
+variance is short by the tail variance, which decays like sum_{k>K} k^-4
+(< 3e-7 of the per-term scale at K=64). This family of truncation samplers
+has data-independent shapes and one batched Gamma draw — exactly what the
+TPU wants — unlike Devroye's rejection sampler with data-dependent loop
+lengths.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["polya_gamma", "pg_mean", "pg_var"]
+
+_TWO_PI_SQ = 2.0 * jnp.pi**2
+
+
+def _tanh_half_over(c):
+    """tanh(c/2) / c with the c -> 0 limit (= 1/2) handled."""
+    x = 0.5 * c
+    small = jnp.abs(x) < 1e-4
+    safe = jnp.where(small, 1.0, x)
+    ratio = jnp.where(small, 1.0 - x * x / 3.0, jnp.tanh(safe) / safe)
+    return 0.5 * ratio
+
+
+def pg_mean(b, c):
+    """E[PG(b, c)] = b / (2 c) tanh(c / 2), with the c->0 limit b/4."""
+    return 0.5 * b * _tanh_half_over(c)
+
+
+def pg_var(b, c):
+    """Var[PG(b, c)] = b / (4 c^3) (sinh(c) - c) sech^2(c / 2).
+
+    Uses a series for small c (limit b/24).
+    """
+    c = jnp.asarray(c, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    small = jnp.abs(c) < 1e-3
+    safe = jnp.where(small, 1.0, c)
+    v = (jnp.sinh(safe) - safe) / (4.0 * safe**3) / jnp.cosh(safe / 2.0) ** 2
+    return b * jnp.where(small, 1.0 / 24.0, v)
+
+
+def polya_gamma(key, b, c, num_terms: int = 64):
+    """Draw omega ~ PG(b, c), elementwise over broadcast(b, c).
+
+    b may be any nonnegative real (b = 0 returns exactly 0, used for
+    missing cells); c any real. Replaces `PyPolyaGamma.pgdrawv`
+    (factor.py:458-460).
+    """
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    shape = jnp.broadcast_shapes(b.shape, c.shape)
+    dtype = jnp.result_type(b, c, jnp.float32)
+    b = jnp.broadcast_to(b, shape).astype(dtype)
+    c = jnp.broadcast_to(c, shape).astype(dtype)
+
+    pos = b > 0
+    b_safe = jnp.where(pos, b, 1.0)
+
+    ks = (jnp.arange(num_terms, dtype=dtype) + 0.5) ** 2  # (K,)
+    denom = ks.reshape((num_terms,) + (1,) * len(shape)) + (c / (2.0 * jnp.pi)) ** 2
+
+    g = jax.random.gamma(key, b_safe, shape=(num_terms,) + shape, dtype=dtype)
+    trunc = jnp.sum(g / denom, axis=0) / _TWO_PI_SQ
+
+    mean_full = pg_mean(b, c).astype(dtype)
+    mean_trunc = b * jnp.sum(1.0 / denom, axis=0) / _TWO_PI_SQ
+    tail = jnp.maximum(mean_full - mean_trunc, 0.0)
+
+    return jnp.where(pos, trunc + tail, 0.0)

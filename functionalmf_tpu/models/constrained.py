@@ -1,0 +1,249 @@
+"""Constrained black-box-likelihood BTF — the reference's flagship model.
+
+TPU-native re-design of ConstrainedNonconjugateBayesianTensorFiltering
+(reference functionalmf/factor.py:894-1017 + module-level workers
+factor.py:656-892): per-row / per-column GASS updates under user linear
+constraints ``A tau >= c`` on every curve tau_ij. = <w_i, v_j.>, with
+constraints re-derived each step from the *opposite* embedding
+(factor.py:711-725, 847-854), optional fixed Row_constraints, and optional
+EP centering of the Gaussian proposal (factor.py:677-683, 771-797).
+
+Architecture deltas from the reference (SURVEY.md §2.5, §7):
+  * the multiprocessing Pool + POSIX shared-memory fan-out
+    (factor.py:929-1000) is replaced by `vmap` over rows and columns inside
+    one jitted sweep — the row updates are mutually conditionally
+    independent given V (and vice versa), so the batched update is exact;
+  * GASS runs with static shapes (see samplers/gass.py);
+  * the user log-likelihood is a jax-traceable function with the
+    reference's signature ``loglikelihood(data, WV, W, V, row=None,
+    col=None) -> scalar`` evaluated *unbatched* — the framework supplies
+    the grid batching via vmap (the reference looped candidates in Python,
+    factor.py:739, 870). `row`/`col` arrive as traced int32 scalars.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm as jnorm
+
+from functionalmf_tpu.models.base import BayesianTensorFiltering, _fold
+from functionalmf_tpu.ops.mvn import sample_mvn_from_precision, cholesky_psd
+from functionalmf_tpu.samplers.gass import gass
+
+__all__ = ["ConstrainedNonconjugateBayesianTensorFiltering"]
+
+
+def _ep_logpdf(tau, mu_ep, sigma_ep):
+    """Sum of N(tau | mu_ep, sigma_ep) logpdfs with NaN cells masked
+    (the EP renormalization divided out of the likelihood,
+    factor.py:754-756, 889-891)."""
+    lp = jnorm.logpdf(tau, mu_ep, sigma_ep)
+    return jnp.sum(jnp.where(jnp.isnan(mu_ep), 0.0, lp))
+
+
+class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
+    """Constrained nonconjugate BTF (factor.py:894-1017)."""
+
+    def __init__(self,
+                 nrows, ncols, ndepth,
+                 loglikelihood,       # traceable black-box loglikelihood
+                 Constraints,         # (J, T+1): rows [A | c], A tau >= c
+                 ep_approx=None,      # optional (Mu_ep, Sigma_ep) centering
+                 nthreads=None,       # parity kwarg; parallelism is on-device
+                 gass_ngrid=100,
+                 Row_constraints=None,  # optional (nR, k+1) fixed [A | c]
+                 multiprocessing=None,  # parity kwarg (unused)
+                 sharedprefix=None,     # parity kwarg (unused)
+                 worker_init=None,      # parity kwarg (unused)
+                 **kwargs):
+        super().__init__(nrows, ncols, ndepth, **kwargs)
+        self.loglikelihood = loglikelihood
+        self.gass_ngrid = int(gass_ngrid)
+
+        Constraints = np.asarray(Constraints, dtype=np.float32)
+        self.Constraints_A = jnp.asarray(Constraints[:, :-1], self.dtype)  # (J, T)
+        self.Constraints_C = jnp.asarray(Constraints[:, -1], self.dtype)   # (J,)
+        self.nconstraints = int(Constraints.shape[0])
+
+        if Row_constraints is not None:
+            Row_constraints = np.asarray(Row_constraints, dtype=np.float32)
+            assert Row_constraints.shape[1] == self.nembeds + 1
+        self.Row_constraints = (None if Row_constraints is None
+                                else jnp.asarray(Row_constraints, self.dtype))
+
+        if ep_approx is None:
+            self.Mu_ep, self.Sigma_ep = None, None
+        else:
+            self.Mu_ep = jnp.asarray(np.asarray(ep_approx[0], np.float32), self.dtype)
+            self.Sigma_ep = jnp.asarray(np.asarray(ep_approx[1], np.float32), self.dtype)
+
+    def shutdown(self):
+        """Parity no-op (the reference tears down its pool and shared
+        memory, factor.py:963-982; there is nothing to tear down here)."""
+
+    def prepare_data(self, data):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x, dtype=np.float32), self.dtype), data)
+
+    # ------------------------------------------------------------------
+    # W update: vmapped GASS over rows (factor.py:665-757, 984-991)
+    # ------------------------------------------------------------------
+    def _update_W_gass(self, state, data, key):
+        n, m, T, k = self.nrows, self.ncols, self.ndepth, self.nembeds
+        V = state["V"]
+        sigma2 = state["sigma2"]
+        CA, CC = self.Constraints_A, self.Constraints_C
+
+        # Constraints from the opposite embedding (factor.py:711-719):
+        # A_w[(j', col), a] = sum_t CA[j', t] V[col, t, a], shared across rows
+        # up to the per-row dim mask.
+        A_base = jnp.einsum("jt,mta->mja", CA, V).reshape(m * self.nconstraints, k)
+        c_base = jnp.tile(CC, m)
+        if self.Row_constraints is not None:
+            A_base = jnp.concatenate([A_base, self.Row_constraints[:, :k]], axis=0)
+            c_base = jnp.concatenate([c_base, self.Row_constraints[:, k]], axis=0)
+
+        mask = self._wmask  # (n, k)
+        eye = jnp.eye(k, dtype=self.dtype)
+
+        # Proposal Gaussian: EP-centered GLS or the isotropic prior
+        # (factor.py:677-687).
+        if self.Mu_ep is not None:
+            Sinv2 = 1.0 / (self.Sigma_ep ** 2)
+            Sinv2 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, Sinv2)
+            Mu0 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, self.Mu_ep)
+            Q = (jnp.einsum("imt,mta,mtb->iab", Sinv2, V, V)
+                 * mask[:, :, None] * mask[:, None, :] + eye / sigma2)
+            mu_part = jnp.einsum("imt,mta->ia", Mu0 * Sinv2, V) * mask
+            L = cholesky_psd(Q, **{"eps": self.linalg_opts["force_psd_eps"],
+                                   "attempts": self.linalg_opts["force_psd_attempts"]})
+            mu_all = jax.vmap(lambda Lq, b: jax.scipy.linalg.cho_solve((Lq, True), b))(
+                L, mu_part)
+        else:
+            Q = jnp.broadcast_to(eye / sigma2, (n, k, k))
+            mu_all = jnp.zeros((n, k), self.dtype)
+
+        # one batched prior draw for all rows
+        v_all = sample_mvn_from_precision(_fold(key, 0), Q,
+                                          **self.linalg_opts) * mask
+
+        data_c = data
+        user_ll = self.loglikelihood
+        has_ep = self.Mu_ep is not None
+        Mu_ep, Sigma_ep = self.Mu_ep, self.Sigma_ep
+
+        def row_gass(i, w_i, dmask, mu_i, v_i, k_i):
+            A_i = A_base * dmask[None, :]
+
+            def loglik(cands):  # (G, k) -> (G,)
+                w = cands * dmask[None, :]
+                tau = jnp.einsum("gk,mtk->gmt", w, V)
+
+                def one(tau_g, w_g):
+                    ll = user_ll(data_c, tau_g, w_g, V, row=i, col=None)
+                    if has_ep:
+                        ll = ll - _ep_logpdf(tau_g, Mu_ep[i], Sigma_ep[i])
+                    return ll
+
+                return jax.vmap(one)(tau, w)
+
+            x_new, _ = gass(k_i, w_i, None, loglik, A_i, c_base,
+                            mu=mu_i, ngrid=self.gass_ngrid,
+                            dim_mask=dmask, v=v_i)
+            return x_new
+
+        keys = jax.vmap(lambda i: _fold(key, 1, i))(jnp.arange(n, dtype=jnp.uint32))
+        W_new = jax.vmap(row_gass)(jnp.arange(n), state["W"], mask, mu_all,
+                                   v_all, keys)
+        return dict(state, W=(W_new * mask).astype(self.dtype))
+
+    # ------------------------------------------------------------------
+    # V update: vmapped GASS over columns (factor.py:759-892, 993-1000)
+    # ------------------------------------------------------------------
+    def _update_V_gass(self, state, data, key):
+        n, m, T, k = self.nrows, self.ncols, self.ndepth, self.nembeds
+        W = state["W"] * self._wmask
+        CA, CC = self.Constraints_A, self.Constraints_C
+        kT = k * T
+
+        # Constraints from the opposite embedding (factor.py:847-854):
+        # A_v[(i, j'), (a, t)] = CA[j', t] * W[i, a]   (embed-major packing)
+        A_v = (CA[None, :, None, :] * W[:, None, :, None]).reshape(
+            n * self.nconstraints, kT)
+        c_v = jnp.tile(CC, n)
+
+        # Per-column proposal precision: trend-filtering prior (+ EP GLS)
+        Q = self._v_prior_precision(state["lam2"], state["Tau2"])  # (m, kT, kT)
+        if self.Mu_ep is not None:
+            Sinv2 = 1.0 / (self.Sigma_ep ** 2)
+            Sinv2 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, Sinv2)
+            Mu0 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, self.Mu_ep)
+            G = jnp.einsum("ijt,ia,ib->jtab", Sinv2, W, W)
+            I_T = jnp.eye(T, dtype=self.dtype)
+            Q = Q + jnp.einsum("jtab,ts->jatbs", G, I_T).reshape(m, kT, kT)
+            mu_part = jnp.einsum("ijt,ia->jat", Mu0 * Sinv2, W).reshape(m, kT)
+            L = cholesky_psd(Q, eps=self.linalg_opts["force_psd_eps"],
+                             attempts=self.linalg_opts["force_psd_attempts"])
+            mu_all = jax.vmap(lambda Lq, b: jax.scipy.linalg.cho_solve((Lq, True), b))(
+                L, mu_part)
+        else:
+            mu_all = jnp.zeros((m, kT), self.dtype)
+
+        v_all = sample_mvn_from_precision(_fold(key, 2), Q, equilibrate=True,
+                                          **self.linalg_opts)  # (m, kT)
+
+        data_c = data
+        user_ll = self.loglikelihood
+        has_ep = self.Mu_ep is not None
+        Mu_ep, Sigma_ep = self.Mu_ep, self.Sigma_ep
+
+        def col_gass(j, vflat_j, mu_j, v_j, k_j):
+            def loglik(cands):  # (G, kT) -> (G,)
+                Vg = cands.reshape(-1, k, T).transpose(0, 2, 1)  # (G, T, k)
+                tau = jnp.einsum("gtk,nk->gnt", Vg, W)
+
+                def one(tau_g, V_g):
+                    ll = user_ll(data_c, tau_g, W, V_g, row=None, col=j)
+                    if has_ep:
+                        ll = ll - _ep_logpdf(tau_g, Mu_ep[:, j], Sigma_ep[:, j])
+                    return ll
+
+                return jax.vmap(one)(tau, Vg)
+
+            x_new, _ = gass(k_j, vflat_j, None, loglik, A_v, c_v,
+                            mu=mu_j, ngrid=self.gass_ngrid, v=v_j)
+            return x_new
+
+        keys = jax.vmap(lambda j: _fold(key, 3, j))(jnp.arange(m, dtype=jnp.uint32))
+        Vflat = state["V"].transpose(0, 2, 1).reshape(m, kT)  # embed-major
+        V_new = jax.vmap(col_gass)(jnp.arange(m), Vflat, mu_all, v_all, keys)
+        V_new = V_new.reshape(m, k, T).transpose(0, 2, 1)
+        return dict(state, V=V_new.astype(self.dtype))
+
+    # ------------------------------------------------------------------
+    def _make_sweep(self):
+        def sweep(state, pdata, key):
+            return self._prior_sweep(state, pdata, key,
+                                     self._update_W_gass, self._update_V_gass)
+        return sweep
+
+    # ------------------------------------------------------------------
+    def logprob(self, data, **params):
+        """factor.py:1002-1005 (without the undefined rowcol_args bug)."""
+        W = jnp.asarray(params.get("W", self.W))
+        V = jnp.asarray(params.get("V", self.V))
+        tau = jnp.einsum("nk,mtk->nmt", W, V)
+        pdata = self.prepare_data(data)
+        return float(self.loglikelihood(pdata, tau, W, V, row=None, col=None))
+
+    def check_constraints(self, atol=1e-5):
+        """Host-side feasibility check of the current state (replaces the
+        reference's in-sampler assertion, gass.py:35)."""
+        W = self.W if self.nchains == 1 else self.W[0]
+        V = self.V if self.nchains == 1 else self.V[0]
+        tau = np.einsum("nk,mtk->nmt", np.asarray(W), np.asarray(V))
+        A = np.asarray(self.Constraints_A)
+        c = np.asarray(self.Constraints_C)
+        vals = np.einsum("jt,nmt->nmj", A, tau)
+        return float((vals - c[None, None, :]).min()) >= -atol

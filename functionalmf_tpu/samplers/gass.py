@@ -1,0 +1,131 @@
+"""Generalized Analytic Slice Sampling (GASS) with static shapes.
+
+TPU-native re-design of the reference's gass (functionalmf/gass.py:13-130):
+slice sampling on the ellipse through the current point and a Gaussian
+proposal, restricted to the region satisfying linear constraints A x >= c,
+where each constraint's valid arc is computed *analytically* from
+a cos(theta) + b sin(theta) >= c.
+
+Design delta (SURVEY.md §7 "GASS without data-dependent shapes"): the
+reference builds a 10000-point grid, prunes it to a variable-length valid
+set, and downsamples to ngrid (gass.py:64-110). Here we compute the joint
+interval [theta_lo, theta_hi] from the concave ("interval") constraints,
+place a *fixed* ngrid of points inside it, mask points falling inside any
+convex ("complement") constraint's excluded arc, evaluate the batched
+log-likelihood at all ngrid points, and select uniformly among the
+above-slice valid points via the Gumbel-argmax trick. Same stationary
+behavior, fully static shapes, vmappable across rows/columns/chains.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["gass"]
+
+
+def gass(key, x, sample_v, loglik, A, c, *, mu=None, cur_ll=None,
+         ngrid: int = 100, dim_mask=None, eps: float = 1e-6, v=None):
+    """One GASS update. Returns (x_new, ll_new).
+
+    Args:
+      x: (D,) current point, must satisfy A x >= c.
+      sample_v: fn(key) -> (D,) draw v ~ N(0, Sigma) (the proposal
+        covariance; the reference passes Sigma/precision/factors to
+        sample_mvn — here the caller owns that, gass.py:25).
+      loglik: fn((G, D)) -> (G,) batched log-likelihood (gass.py:114
+        requires batching support too).
+      A, c: (J, D), (J,) linear inequality constraints A x >= c
+        (the reference packs them as one (J, D+1) matrix, gass.py:32).
+      mu: optional (D,) Gaussian mean; the ellipse is traced around mu.
+      dim_mask: optional (D,) 0/1 mask — masked dims are frozen at x's
+        value (used for the lower-triangular W rows, factor.py:671).
+      ngrid: number of grid points (factor.py:901 default 100).
+      v: optional precomputed proposal draw (D,); overrides sample_v. Use
+        this under vmap, where per-item sampler closures cannot vary.
+    """
+    x = jnp.asarray(x)
+    if mu is None:
+        mu = jnp.zeros_like(x)
+    if cur_ll is None:
+        cur_ll = loglik(x[None])[0]
+
+    k_h, k_v, k_pick = jax.random.split(key, 3)
+    h = cur_ll + jnp.log(jax.random.uniform(k_h))
+
+    if v is None:
+        v = sample_v(k_v)
+    if dim_mask is not None:
+        v = v * dim_mask
+
+    # Constraint geometry must be computed at full f32 precision: on TPU the
+    # default matmul precision is reduced (bf16 passes on the MXU), which is
+    # fine for the likelihood but breaks exact feasibility at arc boundaries.
+    _hp = jax.lax.Precision.HIGHEST
+    x0 = x - mu
+    a = jnp.dot(A, x0, precision=_hp)
+    b = jnp.dot(A, v, precision=_hp)
+    cc = c - jnp.dot(A, mu, precision=_hp)
+
+    # Analytic arc intersection per constraint (gass.py:43-78):
+    # a cos(t) + b sin(t) >= cc  <=>  t in/out of [theta1, theta2]
+    sq = a * a + b * b - cc * cc
+    concerning = (sq >= 0) & (a != -cc)
+    s = jnp.sqrt(jnp.clip(sq, 0.0, None))
+    denom = a + cc
+    denom_safe = jnp.where(jnp.abs(denom) < 1e-30,
+                           jnp.where(denom < 0, -1e-30, 1e-30), denom)
+    t1 = 2.0 * jnp.arctan((b + s) / denom_safe)
+    t2 = 2.0 * jnp.arctan((b - s) / denom_safe)
+
+    # The two roots split the ellipse into two arcs; the valid one is where
+    # a cos(t) + b sin(t) - cc >= 0. The reference classifies via
+    # a^2 < cc^2 (gass.py:56-62), which assumes the *current* point is
+    # strictly feasible; in float32 a boundary sample from the previous
+    # sweep can sit ~1e-6 outside and flip the classification. We instead
+    # evaluate the sinusoid at the interval midpoint — exact and robust.
+    tmin = jnp.minimum(t1, t2)
+    tmax = jnp.maximum(t1, t2)
+    tmid = 0.5 * (tmin + tmax)
+    f_mid = a * jnp.cos(tmid) + b * jnp.sin(tmid) - cc
+    interval = concerning & (f_mid >= 0)
+    complement = concerning & ~interval
+
+    pi = jnp.pi
+    has_interval = jnp.any(interval)
+    theta_lo = jnp.where(has_interval,
+                         jnp.max(jnp.where(interval, tmin, -pi)) + eps, -pi)
+    theta_hi = jnp.where(has_interval,
+                         jnp.min(jnp.where(interval, tmax, pi)) - eps, pi)
+
+    grid = theta_lo + (theta_hi - theta_lo) * jnp.linspace(0.0, 1.0, ngrid)
+
+    # points inside any complement's excluded arc are invalid (gass.py:68-71)
+    inside_comp = ((grid[:, None] > tmin[None, :]) &
+                   (grid[:, None] < tmax[None, :]) &
+                   complement[None, :])
+    valid = (~jnp.any(inside_comp, axis=1)) & (theta_hi >= theta_lo)
+
+    pts = (x0[None, :] * jnp.cos(grid)[:, None]
+           + v[None, :] * jnp.sin(grid)[:, None] + mu[None, :])
+    if dim_mask is not None:
+        pts = pts * dim_mask[None, :]
+
+    # Direct feasibility check of every candidate (one (G, D) x (D, J)
+    # matmul). The analytic arcs concentrate the grid in the valid region;
+    # this mask *guarantees* A x_new >= c even at float32 arc boundaries,
+    # where the reference's theta-space eps (gass.py:76-77) under-protects.
+    feas = jnp.all(jnp.dot(pts, A.T, precision=_hp) >= c[None, :], axis=1)
+    valid = valid & feas
+
+    ll = loglik(pts)
+    ok = valid & (ll >= h) & jnp.isfinite(ll)
+    # uniform choice among ok points (gass.py:118-121) via Gumbel-argmax
+    gumbel = jax.random.gumbel(k_pick, (ngrid,))
+    scores = jnp.where(ok, gumbel, -jnp.inf)
+    idx = jnp.argmax(scores)
+    any_ok = jnp.any(ok)
+
+    x_new = jnp.where(any_ok, pts[idx], x)
+    ll_new = jnp.where(any_ok, ll[idx], cur_ll)
+    return x_new, ll_new

@@ -1,0 +1,169 @@
+"""Constrained/nonconjugate model tests: the reference's flagship Poisson
+path (examples/poisson_tensor_filtering.py) at reduced scale, plus the
+unconstrained ESS model."""
+import jax.numpy as jnp
+import numpy as np
+
+from functionalmf_tpu import (
+    ConstrainedNonconjugateBayesianTensorFiltering,
+    NonconjugateBayesianTensorFiltering,
+)
+
+NROWS, NCOLS, NDEPTH = 6, 5, 8
+
+
+def poisson_loglik(Y, WV, W, V, row=None, col=None):
+    """jax-traceable version of the example's rowcol_loglikelihood
+    (poisson example:25-36): nansum of Poisson logpmf over the row/col slice."""
+    from jax.scipy.special import gammaln
+    if row is not None:
+        Y = Y[row]
+    if col is not None:
+        Y = Y[:, col] if row is None else Y[col]
+    if Y.ndim > WV.ndim:
+        WV = WV[..., None]
+    rate = jnp.clip(WV, 1e-8, None)
+    Y0 = jnp.where(jnp.isnan(Y), 0.0, Y)
+    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+    return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
+
+
+def _piecewise_truth(rng, ndims=2):
+    W = rng.gamma(1, 1, size=(NROWS, ndims))
+    W[np.triu_indices(ndims, k=1)] = 0
+    V = np.zeros((NCOLS, NDEPTH, ndims))
+    for j in range(NCOLS):
+        V[j, -1] = rng.gamma(1, 1, size=ndims)
+        for t in range(NDEPTH - 2, -1, -1):
+            V[j, t] = V[j, t + 1] + (rng.gamma(1, 1, size=ndims)
+                                     if rng.random() < 0.2 else 0)
+    return W, V
+
+
+def test_constrained_poisson(rng):
+    nembeds = 2
+    W_true, V_true = _piecewise_truth(rng, nembeds)
+    Mu = np.einsum("nk,mtk->nmt", W_true, V_true)
+    Y = rng.poisson(Mu[..., None], size=Mu.shape + (1,)).astype(float)
+    Ym = Y.copy()
+    Ym[:2, :2] = np.nan
+
+    # positivity constraints (poisson example:42)
+    Constraints = np.concatenate([np.eye(NDEPTH), np.zeros((NDEPTH, 1))], axis=1)
+
+    # feasible warm start (the example uses NMF; here scaled-positive init)
+    W0 = np.abs(rng.normal(1.0, 0.2, size=(NROWS, nembeds)))
+    W0[np.triu_indices(nembeds, k=1)] = 0
+    V0 = np.abs(rng.normal(1.0, 0.2, size=(NCOLS, NDEPTH, nembeds)))
+
+    model = ConstrainedNonconjugateBayesianTensorFiltering(
+        NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
+        nembeds=nembeds, tf_order=0, sigma2_init=0.5, lam2_init=0.1,
+        W_init=W0, V_init=V0, gass_ngrid=50, seed=0)
+    assert model.check_constraints()
+    res = model.run_gibbs(Ym, nburn=500, nthin=1, nsamples=500, verbose=False)
+    model.shutdown()
+
+    Mu_hat = np.einsum("znk,zmtk->znmt", res["W"], res["V"])
+    # every posterior draw satisfies the positivity constraints
+    assert Mu_hat.min() >= -1e-5, Mu_hat.min()
+    mean = Mu_hat.mean(0)
+    fit_rmse = np.sqrt(np.mean((mean[2:, 2:] - Mu[2:, 2:]) ** 2))
+    scale = np.sqrt(np.mean(Mu ** 2))
+    assert fit_rmse < 0.45 * scale, (fit_rmse, scale)
+    # held-out block should still track the truth through the factorization
+    ho_rmse = np.sqrt(np.mean((mean[:2, :2] - Mu[:2, :2]) ** 2))
+    assert ho_rmse < 1.0 * scale, (ho_rmse, scale)
+
+
+def test_constrained_monotone(rng):
+    """Positivity + monotone-decreasing constraints (poisson example:44-47):
+    every posterior draw must be monotone in depth."""
+    nembeds = 2
+    W0 = np.abs(rng.normal(1.0, 0.1, size=(NROWS, nembeds)))
+    W0[np.triu_indices(nembeds, k=1)] = 0
+    # monotone-decreasing positive V
+    V0 = np.cumsum(np.abs(rng.normal(0.3, 0.1, size=(NCOLS, NDEPTH, nembeds))), axis=1)[:, ::-1]
+    Mu0 = np.einsum("nk,mtk->nmt", W0, V0)
+    Y = rng.poisson(Mu0[..., None]).astype(float)
+
+    C_pos = np.concatenate([np.eye(NDEPTH), np.zeros((NDEPTH, 1))], axis=1)
+    C_mono = np.array([np.concatenate([np.zeros(i), [1, -1],
+                                       np.zeros(NDEPTH - i - 2), [-1e-2]])
+                       for i in range(NDEPTH - 1)])
+    Constraints = np.concatenate([C_pos, C_mono], axis=0)
+
+    model = ConstrainedNonconjugateBayesianTensorFiltering(
+        NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
+        nembeds=nembeds, tf_order=0, sigma2_init=0.5, lam2_init=0.1,
+        W_init=W0, V_init=np.ascontiguousarray(V0), gass_ngrid=50, seed=0)
+    assert model.check_constraints()
+    res = model.run_gibbs(Y, nburn=100, nthin=1, nsamples=100, verbose=False)
+
+    Mu_hat = np.einsum("znk,zmtk->znmt", res["W"], res["V"])
+    assert Mu_hat.min() >= -1e-5
+    diffs = Mu_hat[..., :-1] - Mu_hat[..., 1:]
+    assert diffs.min() >= -1e-2 - 1e-4, diffs.min()
+
+
+def test_constrained_row_constraints(rng):
+    """Fixed Row_constraints are honored (factor.py:722-724): W entries
+    bounded above elementwise."""
+    nembeds = 2
+    W0 = np.full((NROWS, nembeds), 0.5)
+    W0[np.triu_indices(nembeds, k=1)] = 0
+    V0 = np.abs(rng.normal(1.0, 0.2, size=(NCOLS, NDEPTH, nembeds)))
+    Y = rng.poisson(np.einsum("nk,mtk->nmt", W0, V0)[..., None]).astype(float)
+
+    C_pos = np.concatenate([np.eye(NDEPTH), np.zeros((NDEPTH, 1))], axis=1)
+    # -w_a >= -2  <=>  w_a <= 2
+    Row_constraints = np.concatenate([-np.eye(nembeds), np.full((nembeds, 1), -2.0)],
+                                     axis=1)
+    model = ConstrainedNonconjugateBayesianTensorFiltering(
+        NROWS, NCOLS, NDEPTH, poisson_loglik, C_pos,
+        Row_constraints=Row_constraints,
+        nembeds=nembeds, tf_order=0, sigma2_init=2.0, lam2_init=0.1,
+        W_init=W0, V_init=V0, gass_ngrid=50, seed=0)
+    res = model.run_gibbs(Y, nburn=100, nthin=1, nsamples=200, verbose=False)
+    assert res["W"].max() <= 2.0 + 1e-5, res["W"].max()
+
+
+def test_nonconjugate_ess_exact_posterior(rng):
+    """Sharp ESS correctness check: with V fixed at the truth and a Gaussian
+    likelihood, the W posterior is exactly the conjugate ridge posterior
+    (the ESS chain must reproduce its mean). Exercises the
+    loglikelihood(W, V, data) contract (factor.py:567-607)."""
+    nrows, ncols, ndepth, nembeds, nu2 = 4, 3, 5, 2, 0.25
+    sigma2 = 1.0
+    W_true = rng.normal(size=(nrows, nembeds))
+    W_true[np.triu_indices(nembeds, k=1)] = 0
+    V_true = rng.normal(size=(ncols, ndepth, nembeds))
+    Mu = np.einsum("nk,mtk->nmt", W_true, V_true)
+    Y = rng.normal(Mu, np.sqrt(nu2))
+
+    def loglik(W, V, data):
+        mu = jnp.einsum("nk,mtk->nmt", W, V)
+        return jnp.sum(-0.5 * (data - mu) ** 2 / nu2)
+
+    from functionalmf_tpu.ops.penalty import num_penalty_rows
+    nD = num_penalty_rows(ndepth, 2)
+    model = NonconjugateBayesianTensorFiltering(
+        nrows, ncols, ndepth, loglik, nembeds=nembeds,
+        V_true=V_true, sigma2_true=sigma2, lam2_true=1.0,
+        Tau2_true=np.ones((ncols, nD)), seed=0)
+    res = model.run_gibbs(Y, nburn=500, nthin=2, nsamples=2000, verbose=False)
+    Ws = res["W"]
+
+    # closed-form ridge posterior per row
+    Vf = V_true.reshape(-1, nembeds)
+    for i in range(nrows):
+        nd = min(i + 1, nembeds)
+        A = Vf[:, :nd]
+        Q = A.T @ A / nu2 + np.eye(nd) / sigma2
+        mu_post = np.linalg.solve(Q, A.T @ Y[i].reshape(-1) / nu2)
+        sd = np.sqrt(np.diag(np.linalg.inv(Q)))
+        # ESS autocorrelation inflates MC error; allow a generous multiple
+        tol = 12 * sd / np.sqrt(Ws.shape[0] / 10) + 5e-3
+        assert np.all(np.abs(Ws[:, i, :nd].mean(0) - mu_post) < tol), \
+            (i, Ws[:, i, :nd].mean(0), mu_post, tol)
+        assert np.all(Ws[:, i, nd:] == 0)

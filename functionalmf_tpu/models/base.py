@@ -240,9 +240,7 @@ class BayesianTensorFiltering:
     def _init_V_val(self, chain_keys, lam2, Tau2):
         # factor.py:235-242: V_j ~ N(0, Q_j^-1), Q_j = kron(I_k, D^T Lam_j D)
         def f(k, l2, T2):
-            Q = self._v_prior_precision(l2, T2)  # (ncols, kT, kT)
-            keys = jax.vmap(lambda j: _fold(k, 5, j))(jnp.arange(self.ncols, dtype=jnp.uint32))
-            x = jax.vmap(lambda kk, q: sample_mvn_from_precision(kk, q, **self.linalg_opts))(keys, Q)
+            x = self._sample_v_prior(_fold(k, 5), l2, T2)  # (ncols, kT)
             V = x.reshape(self.ncols, self.nembeds, self.ndepth).transpose(0, 2, 1)
             return jnp.clip(V, -10, 10)
         return jax.vmap(f)(chain_keys, lam2, Tau2).astype(self.dtype)
@@ -312,6 +310,30 @@ class BayesianTensorFiltering:
         Q = jnp.einsum("ab,jts->jatbs", I_k, DtLD)
         return Q.reshape(self.ncols, kT, kT)
 
+    def _sample_v_prior(self, key, lam2, Tau2):
+        """Draw (ncols, k*T) ~ N(0, kron(I_k, DtLD)^-1) via the *block*
+        structure: the kron prior is block-diagonal over embeddings, so one
+        (ncols, T, T) Cholesky with k right-hand sides replaces the
+        (ncols, kT, kT) factorization — O(k) less FLOPs and, on TPU, ~k x
+        fewer sequential Cholesky panel steps. Jacobi equilibration keeps
+        the horseshoe's 1e-6..1e6 dynamic range factorizable in f32.
+        Returns embed-major packing (matching _pack_V, factor.py:176-194).
+        """
+        m, T, k = self.ncols, self.ndepth, self.nembeds
+        DtLD = self._v_prior_dtld(lam2, Tau2)  # (m, T, T)
+        d = jnp.diagonal(DtLD, axis1=-2, axis2=-1)
+        dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+        Qe = DtLD * dinv[:, :, None] * dinv[:, None, :]
+        from functionalmf_tpu.ops.mvn import cholesky_psd
+        L = cholesky_psd(Qe, eps=self.linalg_opts["force_psd_eps"],
+                         attempts=self.linalg_opts["force_psd_attempts"]
+                         if self.linalg_opts["force_psd"] else 0)
+        z = jax.random.normal(key, (m, T, k), dtype=self.dtype)
+        x = jax.lax.linalg.triangular_solve(L, z, left_side=True, lower=True,
+                                            transpose_a=True)  # (m, T, k)
+        x = x * dinv[:, :, None]
+        return x.transpose(0, 2, 1).reshape(m, k * T)
+
     def _update_sigma2(self, state, key):
         """IG update on packed W (factor.py:130-132)."""
         W = state["W"]
@@ -352,6 +374,11 @@ class BayesianTensorFiltering:
             state = update_V(state, data, _fold(key, 15))
         return state
 
+    def mark_data_dirty(self):
+        """Tell the callback-mode driver that the `data` object changed and
+        must be re-prepared before the next sweep (see run_gibbs)."""
+        self._data_dirty = True
+
     # ------------------------------------------------------------------
     # abstract pieces
     # ------------------------------------------------------------------
@@ -383,6 +410,56 @@ class BayesianTensorFiltering:
     def _collect(self, state):
         return {k: state[k] for k in self._collect_keys}
 
+    def _get_compiled_run(self, key):
+        """Build (and cache per sample-flag set) the jitted burn+sample scan.
+
+        The jit cache is keyed on the function object, so recreating the
+        closure every run_gibbs call would recompile every call; caching by
+        the sample-flag tuple makes repeated runs (chained chains, DIC grid
+        search) reuse the compiled executable.
+        """
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        flags = self._sample_flags() + (self.nchains,)
+        entry = cache.get(flags)
+        if entry is not None:
+            entry["key"][0] = key
+            return entry["run"]
+
+        sweep = self._make_sweep()
+        vsweep = jax.vmap(sweep, in_axes=(0, None, 0))
+        collect_keys = self._collect_keys
+        nchains = self.nchains
+        key_box = [key]
+
+        def step_keys(base_key, step):
+            base = jax.random.fold_in(base_key, step)
+            return jax.vmap(lambda c: jax.random.fold_in(base, c))(
+                jnp.arange(nchains, dtype=jnp.uint32))
+
+        @partial(jax.jit, static_argnames=("nburn", "nthin", "nsamples"))
+        def run_impl(state, pdata, base_key, nburn, nthin, nsamples):
+            def one(step, st):
+                return vsweep(st, pdata, step_keys(base_key, step))
+
+            state = jax.lax.fori_loop(0, nburn, one, state)
+
+            def body(st, t):
+                def inner(i, s):
+                    return one(nburn + t * nthin + i, s)
+                st = jax.lax.fori_loop(0, nthin, inner, st)
+                return st, {k: st[k] for k in collect_keys}
+
+            state, outs = jax.lax.scan(body, state, jnp.arange(nsamples))
+            return state, outs
+
+        def run(state, pdata, nburn, nthin, nsamples):
+            return run_impl(state, pdata, key_box[0], nburn, nthin, nsamples)
+
+        cache[flags] = {"run": run, "key": key_box}
+        return run
+
     def run_gibbs(self, data, nburn=1000, nthin=1, nsamples=1000, verbose=True,
                   print_freq=100, callback=None, key=None, **kwargs):
         """Blocked Gibbs: burn-in, then nsamples thinned draws.
@@ -406,24 +483,7 @@ class BayesianTensorFiltering:
         state = self._shard_state(self._state)
 
         if callback is None:
-            collect_keys = self._collect_keys
-
-            @partial(jax.jit, static_argnames=("nburn", "nthin", "nsamples"))
-            def run(state, pdata, nburn, nthin, nsamples):
-                def one(step, st):
-                    return vsweep(st, pdata, step_keys(step))
-
-                state = jax.lax.fori_loop(0, nburn, one, state)
-
-                def body(st, t):
-                    def inner(i, s):
-                        return one(nburn + t * nthin + i, s)
-                    st = jax.lax.fori_loop(0, nthin, inner, st)
-                    return st, {k: st[k] for k in collect_keys}
-
-                state, outs = jax.lax.scan(body, state, jnp.arange(nsamples))
-                return state, outs
-
+            run = self._get_compiled_run(key)
             state, outs = run(state, pdata, int(nburn), int(nthin), int(nsamples))
             self._state = state
             return self._format_results(outs, nsamples)
@@ -433,11 +493,18 @@ class BayesianTensorFiltering:
         nsteps = nburn + nthin * nsamples
         jsweep = jax.jit(vsweep)
         outs_host = None
+        self._data_dirty = False
         for step in range(nsteps):
             if verbose and step % print_freq == 0:
                 print("\tStep {}".format(step))
             self._state = jsweep(self._state, pdata, step_keys(step))
             callback(self, data, step, **kwargs)
+            if self._data_dirty:
+                # the callback changed side data (e.g. the U feature
+                # embeddings the likelihood reads); re-prepare so the
+                # compiled sweep sees the new values as traced inputs
+                pdata = self.prepare_data(data)
+                self._data_dirty = False
             if step >= nburn and (step - nburn) % nthin == 0:
                 sidx = (step - nburn) // nthin
                 snap = jax.device_get(self._collect(self._state))

@@ -66,17 +66,33 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         self.Constraints_C = jnp.asarray(Constraints[:, -1], self.dtype)   # (J,)
         self.nconstraints = int(Constraints.shape[0])
 
-        if Row_constraints is not None:
+        # Row_constraints live in the state dict so they are *traced* inputs:
+        # the doseresponse pipeline rewrites them every step from a callback
+        # (fit.py:133-137), which must reach the compiled sweep.
+        self._has_row_constraints = Row_constraints is not None
+        if self._has_row_constraints:
             Row_constraints = np.asarray(Row_constraints, dtype=np.float32)
             assert Row_constraints.shape[1] == self.nembeds + 1
-        self.Row_constraints = (None if Row_constraints is None
-                                else jnp.asarray(Row_constraints, self.dtype))
+            self._state["Row_constraints"] = self._chain_broadcast(
+                Row_constraints, Row_constraints.shape)
 
         if ep_approx is None:
             self.Mu_ep, self.Sigma_ep = None, None
         else:
             self.Mu_ep = jnp.asarray(np.asarray(ep_approx[0], np.float32), self.dtype)
             self.Sigma_ep = jnp.asarray(np.asarray(ep_approx[1], np.float32), self.dtype)
+
+    @property
+    def Row_constraints(self):
+        if not self._has_row_constraints:
+            return None
+        return self._get_var("Row_constraints")
+
+    @Row_constraints.setter
+    def Row_constraints(self, value):
+        assert self._has_row_constraints, \
+            "Row_constraints must be provided at construction to be updatable"
+        self._set_var("Row_constraints", value)
 
     def shutdown(self):
         """Parity no-op (the reference tears down its pool and shared
@@ -100,9 +116,10 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         # up to the per-row dim mask.
         A_base = jnp.einsum("jt,mta->mja", CA, V).reshape(m * self.nconstraints, k)
         c_base = jnp.tile(CC, m)
-        if self.Row_constraints is not None:
-            A_base = jnp.concatenate([A_base, self.Row_constraints[:, :k]], axis=0)
-            c_base = jnp.concatenate([c_base, self.Row_constraints[:, k]], axis=0)
+        if self._has_row_constraints:
+            RC = state["Row_constraints"]
+            A_base = jnp.concatenate([A_base, RC[:, :k]], axis=0)
+            c_base = jnp.concatenate([c_base, RC[:, k]], axis=0)
 
         mask = self._wmask  # (n, k)
         eye = jnp.eye(k, dtype=self.dtype)
@@ -173,9 +190,12 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
             n * self.nconstraints, kT)
         c_v = jnp.tile(CC, n)
 
-        # Per-column proposal precision: trend-filtering prior (+ EP GLS)
-        Q = self._v_prior_precision(state["lam2"], state["Tau2"])  # (m, kT, kT)
+        # Per-column proposal precision: trend-filtering prior (+ EP GLS).
+        # Without EP the precision is block-diagonal over embeddings, so the
+        # draw uses the structured (m, T, T) path instead of a dense
+        # (m, kT, kT) Cholesky — the single hottest op in the sweep.
         if self.Mu_ep is not None:
+            Q = self._v_prior_precision(state["lam2"], state["Tau2"])
             Sinv2 = 1.0 / (self.Sigma_ep ** 2)
             Sinv2 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, Sinv2)
             Mu0 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, self.Mu_ep)
@@ -187,11 +207,12 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                              attempts=self.linalg_opts["force_psd_attempts"])
             mu_all = jax.vmap(lambda Lq, b: jax.scipy.linalg.cho_solve((Lq, True), b))(
                 L, mu_part)
+            v_all = sample_mvn_from_precision(_fold(key, 2), Q, equilibrate=True,
+                                              **self.linalg_opts)  # (m, kT)
         else:
             mu_all = jnp.zeros((m, kT), self.dtype)
-
-        v_all = sample_mvn_from_precision(_fold(key, 2), Q, equilibrate=True,
-                                          **self.linalg_opts)  # (m, kT)
+            v_all = self._sample_v_prior(_fold(key, 2), state["lam2"],
+                                         state["Tau2"])
 
         data_c = data
         user_ll = self.loglikelihood

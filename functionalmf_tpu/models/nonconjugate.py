@@ -60,10 +60,8 @@ class NonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         """factor.py:584-590: prior draw from the block trend-filtering
         precision (batched over columns), then one joint ESS step over V."""
         k1, k2 = jax.random.split(key)
-        Q = self._v_prior_precision(state["lam2"], state["Tau2"])  # (m, kT, kT)
-        draw = sample_mvn_from_precision(k1, Q, equilibrate=True,
-                                         **self.linalg_opts)  # (m, kT)
         m, k, T = self.ncols, self.nembeds, self.ndepth
+        draw = self._sample_v_prior(k1, state["lam2"], state["Tau2"])  # (m, kT)
         prior = draw.reshape(m, k, T).transpose(0, 2, 1)  # (m, T, k)
 
         W = state["W"]

@@ -1,0 +1,126 @@
+"""Google Flu Trends benchmark (reference flutrends/benchmark.py:1-163).
+
+Gaussian BTF on log state-level flu counts (50 states x 1 x T weeks) with
+held-out years, compared on in/out-of-sample RMSE / MAE and 95% posterior
+predictive coverage. The BNP-CovReg numbers (Fox & Dunson 2011, a vendored
+MATLAB baseline in the reference) are read from CSV when present.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from functionalmf_tpu import GaussianBayesianTensorFiltering
+
+
+def load_data(data_dir, rng):
+    from scipy.io import loadmat
+    raw = os.path.join(data_dir, "flu_US.mat")
+    pre = os.path.join(data_dir, "flu_US_states.mat")
+    if os.path.exists(pre):
+        Y = loadmat(pre)["data"].T[:, None]
+        Yt = loadmat(os.path.join(data_dir, "flu_US_states_train.mat"))["data"].T[:, None]
+        to_hold = np.load(os.path.join(data_dir, "held_out_years.npy"))
+        return np.log(Y), np.log(Yt), to_hold
+    if os.path.exists(raw):
+        from functionalmf_tpu.apps.flutrends.create_datasets import create
+        import tempfile
+        tmp = tempfile.mkdtemp()
+        data, train, to_hold = create(raw, tmp)
+        return (np.log(data.T[:, None]), np.log(train.T[:, None]), to_hold)
+    print("flu data not found in {}; synthesizing".format(data_dir))
+    n, T = 50, 370
+    base = np.sin(np.linspace(0, 20, T))[None] * rng.normal(1, 0.3, size=(n, 1)) + 5
+    Y = np.exp(base + rng.normal(0, 0.3, size=(n, T)))[:, None]
+    train = Y.copy()
+    to_hold = np.array([[i, 52 * (i % 6), 52 * (i % 6) + 52] for i in range(n)][:30])
+    for i, j, k in to_hold:
+        train[i, 0, j:k] = np.nan
+    return np.log(Y), np.log(train), to_hold
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Google Flu Trends benchmark")
+    parser.add_argument("--data-dir", default=os.environ.get(
+        "FLU_DATA_DIR", "/root/reference/flutrends"))
+    parser.add_argument("--nembeds", type=int, nargs="+", default=[5, 10])
+    parser.add_argument("--nburn", type=int, default=100)
+    parser.add_argument("--nthin", type=int, default=100)
+    parser.add_argument("--nsamples", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--outdir", default=None)
+    args = parser.parse_args(argv)
+
+    rng = np.random.default_rng(args.seed)
+    Y, Y_train, to_hold = load_data(args.data_dir, rng)
+    nrows, ncols, ndepth = Y.shape
+
+    is_missing = np.isnan(Y)
+    is_held_out = (~is_missing) & np.isnan(Y_train)
+    is_in_sample = (~is_missing) & (~is_held_out)
+
+    table = {}
+    for nembeds in args.nembeds:
+        model = GaussianBayesianTensorFiltering(
+            nrows, ncols, ndepth, nembeds=nembeds, tf_order=2,
+            sigma2_init=1, lam2_init=0.1, nu2_init=1, seed=args.seed)
+        print("Running Gibbs sampler (k={})".format(nembeds))
+        results = model.run_gibbs(Y_train, nburn=args.nburn, nthin=args.nthin,
+                                  nsamples=args.nsamples, print_freq=50,
+                                  verbose=True)
+        Mu_hat = np.einsum("znk,zmtk->znmt", results["W"], results["V"])
+        Mu_mean = Mu_hat.mean(axis=0)
+        nu2s = results["nu2"][:, 0]
+
+        # posterior predictive bands (benchmark.py:66-76)
+        draws = Mu_hat[:, :, :, :, None] + rng.normal(
+            0, np.sqrt(nu2s)[:, None, None, None, None],
+            size=Mu_hat.shape + (20,))
+        draws = draws.reshape(-1, nrows, ncols, ndepth)
+        Y_upper = np.percentile(draws, 97.5, axis=0)
+        Y_lower = np.percentile(draws, 2.5, axis=0)
+
+        cov_in = 100 - ((Y[is_in_sample] < Y_lower[is_in_sample])
+                        | (Y[is_in_sample] > Y_upper[is_in_sample])).mean() * 100
+        cov_out = 100 - ((Y[is_held_out] < Y_lower[is_held_out])
+                         | (Y[is_held_out] > Y_upper[is_held_out])).mean() * 100
+        r_in = np.sqrt(np.mean((Y[is_in_sample] - Mu_mean[is_in_sample]) ** 2))
+        r_out = np.sqrt(np.mean((Y[is_held_out] - Mu_mean[is_held_out]) ** 2))
+        m_in = np.mean(np.abs(Y[is_in_sample] - Mu_mean[is_in_sample]))
+        m_out = np.mean(np.abs(Y[is_held_out] - Mu_mean[is_held_out]))
+
+        print("k={}".format(nembeds))
+        print("In-sample  coverage: {:.2f}%".format(cov_in))
+        print("Out-sample coverage: {:.2f}%".format(cov_out))
+        print("In-sample  RMSE: {:.2f}".format(r_in))
+        print("Out-sample RMSE: {:.2f}".format(r_out))
+        print("In-sample   MAE: {:.2f}".format(m_in))
+        print("Out-sample  MAE: {:.2f}".format(m_out))
+        table[nembeds] = dict(cov_in=cov_in, cov_out=cov_out, rmse_in=r_in,
+                              rmse_out=r_out, mae_in=m_in, mae_out=m_out)
+
+        if args.outdir:
+            os.makedirs(args.outdir, exist_ok=True)
+            np.savetxt(os.path.join(args.outdir, "btf{}_mu_mean.csv".format(nembeds)),
+                       Mu_mean[:, 0], delimiter=",")
+            np.savetxt(os.path.join(args.outdir, "btf{}_y_upper.csv".format(nembeds)),
+                       Y_upper[:, 0], delimiter=",")
+            np.savetxt(os.path.join(args.outdir, "btf{}_y_lower.csv".format(nembeds)),
+                       Y_lower[:, 0], delimiter=",")
+
+    # Fox & Dunson comparison if precomputed CSVs exist (benchmark.py:146-152)
+    bnp = os.path.join(args.data_dir, "flu-states", "bnpcovreg_mu_mean.csv")
+    if os.path.exists(bnp):
+        bnp_mu = np.loadtxt(bnp, delimiter=",")[:, None]
+        print("Fox and Dunson (2015)")
+        print("In-sample  RMSE: {:.2f}".format(
+            np.sqrt(np.mean((Y[is_in_sample] - bnp_mu[is_in_sample]) ** 2))))
+        print("Out-sample RMSE: {:.2f}".format(
+            np.sqrt(np.mean((Y[is_held_out] - bnp_mu[is_held_out]) ** 2))))
+    return table
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""GDELT politics benchmark (reference politics/benchmark.py:1-204).
+
+Fits the constrained Poisson BTF on the 19x19x228 G20 "Intend to Cooperate"
+monthly count tensor with 10% of nation pairs held out, and reports
+in/out-of-sample RMSE / MAE / Poisson log-likelihood against the empirical
+mean (the PGDS comparison requires the optional `apf` package; its NMF warm
+start is replaced by a direct NMF of the training tensor when absent).
+
+Data: loads the reference benchmark arrays from --data-dir when present
+(e.g. a checkout of the upstream repo's politics/ directory); otherwise
+synthesizes a GDELT-shaped tensor so the pipeline is runnable end to end.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from functionalmf_tpu import ConstrainedNonconjugateBayesianTensorFiltering
+from functionalmf_tpu.utils import tensor_nmf
+
+
+def rowcol_loglikelihood(Y, WV, W, V, row=None, col=None):
+    # politics/benchmark.py:21-32, jax-traceable
+    if row is not None:
+        Y = Y[row]
+    if col is not None:
+        Y = Y[:, col]
+    if Y.ndim > WV.ndim:
+        WV = WV[..., None]
+    rate = jnp.clip(WV, 1e-8, None)
+    Y0 = jnp.where(jnp.isnan(Y), 0.0, Y)
+    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+    return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
+
+
+def ep_from_nmf(Y, W, V):
+    # politics/benchmark.py:47-56: relative-error variance estimate
+    if Y.ndim == 3:
+        Y = Y[..., None]
+    M = (W[:, None, None] * V[None]).sum(axis=-1, keepdims=True)
+    with np.errstate(all="ignore"):
+        estimate = np.nanmedian(np.nanmean((Y - M) ** 2 / np.clip(M, 1e-8, None) ** 2,
+                                           axis=-1))
+    print("Estimated stdev: {}".format(estimate))
+    return M[..., 0], np.ones(Y.shape[:-1]) * estimate
+
+
+def load_data(data_dir, rng):
+    paths = [os.path.join(data_dir, f)
+             for f in ("cooperate.npy", "cooperate_train.npy", "held_out.npy")]
+    if all(os.path.exists(p) for p in paths):
+        Y = np.load(paths[0]).astype(float)
+        Y_train = np.load(paths[1]).astype(float)
+        to_hold = np.load(paths[2])
+        print("Loaded GDELT tensors from {}".format(data_dir))
+        return Y, Y_train, to_hold
+    # synthesize GDELT-shaped counts (same holdout protocol,
+    # politics/create_datasets.py:61-69)
+    print("GDELT data not found in {}; synthesizing".format(data_dir))
+    n, T, k = 19, 228, 5
+    W = rng.gamma(1.5, 1, size=(n, k))
+    V = np.abs(np.cumsum(rng.normal(0, 0.05, size=(n, T, k)), axis=1)
+               + rng.gamma(1, 0.5, size=(n, 1, k)))
+    Y = rng.poisson(np.einsum("nk,mtk->nmt", W, V)).astype(float)
+    indices = np.array([np.repeat(np.arange(n), n), np.tile(np.arange(n), n)]).T
+    to_hold = indices[rng.choice(indices.shape[0], replace=False,
+                                 size=int(np.ceil(n * n * 0.1)))]
+    Y_train = Y.copy()
+    for i, j in to_hold:
+        Y_train[i, j] = np.nan
+    return Y, Y_train, to_hold
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="GDELT politics benchmark")
+    parser.add_argument("--data-dir", default=os.environ.get(
+        "GDELT_DATA_DIR", "/root/reference/politics"))
+    parser.add_argument("--nembeds", type=int, default=5)
+    parser.add_argument("--nburn", type=int, default=10000)
+    parser.add_argument("--nthin", type=int, default=10)
+    parser.add_argument("--nsamples", type=int, default=1000)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--no-ep", action="store_true",
+                        help="disable EP centering of the GASS proposal")
+    parser.add_argument("--outdir", default=None)
+    args = parser.parse_args(argv)
+
+    rng = np.random.default_rng(args.seed)
+    Y, Y_train, to_hold = load_data(args.data_dir, rng)
+    nrows, ncols, ndepth = Y.shape
+    nembeds = args.nembeds
+
+    # PGDS baseline (optional apf dependency; politics/benchmark.py:74-81)
+    Mu_pgds = None
+    try:
+        from functionalmf_tpu.pgds import fit_pgds
+        Mu_pgds, _ = fit_pgds(Y_train, nembeds, binary=False, nthreads=1,
+                              time_mode=2, nburn=args.nburn, nthin=args.nthin,
+                              nsamples=args.nsamples, verbose=0)
+        nmf_target = np.asarray(Mu_pgds).mean(axis=0)
+    except ImportError:
+        print("apf (PGDS) not installed; warm-starting NMF from the training tensor")
+        nmf_target = Y_train
+
+    # constrained Poisson BTF with positivity constraints (benchmark.py:84-97)
+    C_zero = np.concatenate([np.eye(ndepth), np.zeros((ndepth, 1))], axis=1)
+    W0, V0 = tensor_nmf(nmf_target, nembeds, rng=rng)
+    ep = None if args.no_ep else ep_from_nmf(Y_train, W0, V0)
+
+    model = ConstrainedNonconjugateBayesianTensorFiltering(
+        nrows, ncols, ndepth, rowcol_loglikelihood, C_zero,
+        nembeds=nembeds, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
+        ep_approx=ep, W_init=W0, V_init=V0, seed=args.seed)
+
+    print("Running Gibbs sampler")
+    results = model.run_gibbs(Y_train, nburn=args.nburn, nthin=args.nthin,
+                              nsamples=args.nsamples, print_freq=10, verbose=True)
+    model.shutdown()
+    Mu_hat = np.einsum("znk,zmtk->znmt", results["W"], results["V"])
+
+    # evaluation (benchmark.py:163-204)
+    from scipy.stats import poisson
+    is_missing = np.isnan(Y)
+    is_held_out = (~is_missing) & np.isnan(Y_train)
+    is_in_sample = (~is_missing) & (~is_held_out)
+
+    table = {}
+
+    def report(name, mu):
+        r_in = np.sqrt(np.mean((Y[None, is_in_sample] - mu[:, is_in_sample]) ** 2,
+                               axis=-1)).mean()
+        r_out = np.sqrt(np.mean((Y[None, is_held_out] - mu[:, is_held_out]) ** 2,
+                                axis=-1)).mean()
+        m_in = np.mean(np.abs(Y[None, is_in_sample] - mu[:, is_in_sample]),
+                       axis=-1).mean()
+        m_out = np.mean(np.abs(Y[None, is_held_out] - mu[:, is_held_out]),
+                        axis=-1).mean()
+        with np.errstate(all="ignore"):
+            ll_in = poisson.logpmf(Y[None, is_in_sample],
+                                   np.clip(mu[:, is_in_sample], 1e-8, None)
+                                   ).mean(axis=-1).mean()
+            ll_out = poisson.logpmf(Y[None, is_held_out],
+                                    np.clip(mu[:, is_held_out], 1e-8, None)
+                                    ).mean(axis=-1).mean()
+        print(name)
+        print("In-sample  RMSE: {:.2f}".format(r_in))
+        print("Out-sample RMSE: {:.2f}".format(r_out))
+        print("In-sample   MAE: {:.2f}".format(m_in))
+        print("Out-sample  MAE: {:.2f}".format(m_out))
+        print("In-sample    LL: {:.2f}".format(ll_in))
+        print("Out-sample   LL: {:.2f}".format(ll_out))
+        print()
+        table[name] = dict(rmse_in=r_in, rmse_out=r_out, mae_in=m_in,
+                           mae_out=m_out, ll_in=ll_in, ll_out=ll_out)
+
+    Mu_emp = (np.ones_like(Y_train) * np.nanmean(Y_train, axis=-1)[..., None])[None]
+    report("Empirical mean", Mu_emp)
+    if Mu_pgds is not None:
+        report("Schein et al (2016)", np.asarray(Mu_pgds))
+    report("BTF", Mu_hat)
+
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        np.save(os.path.join(args.outdir, "btf_mu"), Mu_hat)
+        import json
+        with open(os.path.join(args.outdir, "metrics.json"), "w") as f:
+            json.dump({k: {kk: float(vv) for kk, vv in v.items()}
+                       for k, v in table.items()}, f, indent=2)
+    return table
+
+
+if __name__ == "__main__":
+    main()

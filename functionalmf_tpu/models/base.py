@@ -410,55 +410,53 @@ class BayesianTensorFiltering:
     def _collect(self, state):
         return {k: state[k] for k in self._collect_keys}
 
-    def _get_compiled_run(self, key):
-        """Build (and cache per sample-flag set) the jitted burn+sample scan.
+    # Upper bound on Gibbs sweeps executed per device call. Long runs are
+    # chunked into repeated invocations of one compiled executable: a single
+    # multi-minute XLA execution can exceed device RPC limits (observed as a
+    # TPU worker restart on a 20k-sweep call), and chunking also provides
+    # progress reporting and checkpoint boundaries.
+    max_sweeps_per_call = 1024
 
-        The jit cache is keyed on the function object, so recreating the
-        closure every run_gibbs call would recompile every call; caching by
-        the sample-flag tuple makes repeated runs (chained chains, DIC grid
-        search) reuse the compiled executable.
-        """
+    def _get_compiled_chunks(self, nthin, burn_chunk_size, sample_chunk):
+        """Jitted (burn_chunk, sample_chunk) executables, cached per
+        (sample flags, nchains, nthin, chunk sizes). The chunk offset is a
+        traced argument, so every chunk of a run reuses one compilation."""
         cache = getattr(self, "_run_cache", None)
         if cache is None:
             cache = self._run_cache = {}
-        flags = self._sample_flags() + (self.nchains,)
-        entry = cache.get(flags)
-        if entry is not None:
-            entry["key"][0] = key
-            return entry["run"]
+        ckey = (self._sample_flags(), self.nchains, nthin, burn_chunk_size,
+                sample_chunk)
+        if ckey in cache:
+            return cache[ckey]
 
         sweep = self._make_sweep()
         vsweep = jax.vmap(sweep, in_axes=(0, None, 0))
         collect_keys = self._collect_keys
         nchains = self.nchains
-        key_box = [key]
 
         def step_keys(base_key, step):
             base = jax.random.fold_in(base_key, step)
             return jax.vmap(lambda c: jax.random.fold_in(base, c))(
                 jnp.arange(nchains, dtype=jnp.uint32))
 
-        @partial(jax.jit, static_argnames=("nburn", "nthin", "nsamples"))
-        def run_impl(state, pdata, base_key, nburn, nthin, nsamples):
-            def one(step, st):
-                return vsweep(st, pdata, step_keys(base_key, step))
+        @jax.jit
+        def burn_chunk(state, pdata, base_key, offset):
+            def one(i, st):
+                return vsweep(st, pdata, step_keys(base_key, offset + i))
+            return jax.lax.fori_loop(0, burn_chunk_size, one, state)
 
-            state = jax.lax.fori_loop(0, nburn, one, state)
-
+        @jax.jit
+        def sample_chunk_fn(state, pdata, base_key, offset):
             def body(st, t):
                 def inner(i, s):
-                    return one(nburn + t * nthin + i, s)
+                    return vsweep(s, pdata,
+                                  step_keys(base_key, offset + t * nthin + i))
                 st = jax.lax.fori_loop(0, nthin, inner, st)
                 return st, {k: st[k] for k in collect_keys}
+            return jax.lax.scan(body, state, jnp.arange(sample_chunk))
 
-            state, outs = jax.lax.scan(body, state, jnp.arange(nsamples))
-            return state, outs
-
-        def run(state, pdata, nburn, nthin, nsamples):
-            return run_impl(state, pdata, key_box[0], nburn, nthin, nsamples)
-
-        cache[flags] = {"run": run, "key": key_box}
-        return run
+        cache[ckey] = (burn_chunk, sample_chunk_fn)
+        return cache[ckey]
 
     def run_gibbs(self, data, nburn=1000, nthin=1, nsamples=1000, verbose=True,
                   print_freq=100, callback=None, key=None, **kwargs):
@@ -483,8 +481,32 @@ class BayesianTensorFiltering:
         state = self._shard_state(self._state)
 
         if callback is None:
-            run = self._get_compiled_run(key)
-            state, outs = run(state, pdata, int(nburn), int(nthin), int(nsamples))
+            nburn, nthin, nsamples = int(nburn), int(nthin), int(nsamples)
+            C = max(1, min(nburn, self.max_sweeps_per_call)) if nburn else 1
+            S = max(1, min(nsamples, self.max_sweeps_per_call // max(1, nthin)))
+            burn_chunk, sample_chunk = self._get_compiled_chunks(nthin, C, S)
+
+            # burn-in, rounded UP to whole chunks (a few extra burn sweeps
+            # are harmless and avoid a second compilation for the remainder)
+            offset = 0
+            nchunks = -(-nburn // C) if nburn else 0
+            for ci in range(nchunks):
+                state = burn_chunk(state, pdata, key, jnp.uint32(offset))
+                offset += C
+                if verbose and (ci + 1) % max(1, print_freq // C) == 0:
+                    jax.block_until_ready(state["W"])
+                    print("\tStep {}".format(offset))
+
+            # sampling, in chunks of S thinned draws; surplus truncated
+            chunks_out = []
+            collected = 0
+            while collected < nsamples:
+                state, outs = sample_chunk(state, pdata, key, jnp.uint32(offset))
+                offset += S * nthin
+                chunks_out.append(jax.device_get(outs))
+                collected += S
+            outs = {k: np.concatenate([c[k] for c in chunks_out])[:nsamples]
+                    for k in chunks_out[0]}
             self._state = state
             return self._format_results(outs, nsamples)
 

@@ -195,20 +195,28 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         # draw uses the structured (m, T, T) path instead of a dense
         # (m, kT, kT) Cholesky — the single hottest op in the sweep.
         if self.Mu_ep is not None:
-            Q = self._v_prior_precision(state["lam2"], state["Tau2"])
+            # EP couples embeddings through the GLS term, but the coupled
+            # precision is still block-banded in time-major order: use the
+            # structured kernel (factor.py:771-796 used CHOLMOD here).
+            from functionalmf_tpu.ops.banded import (
+                build_v_bands, block_banded_cholesky, block_banded_solve,
+                equilibrate_bands, block_banded_solve_upper)
+            from functionalmf_tpu.ops.penalty import penalty_half_bandwidth
             Sinv2 = 1.0 / (self.Sigma_ep ** 2)
             Sinv2 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, Sinv2)
             Mu0 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, self.Mu_ep)
             G = jnp.einsum("ijt,ia,ib->jtab", Sinv2, W, W)
-            I_T = jnp.eye(T, dtype=self.dtype)
-            Q = Q + jnp.einsum("jtab,ts->jatbs", G, I_T).reshape(m, kT, kT)
-            mu_part = jnp.einsum("ijt,ia->jat", Mu0 * Sinv2, W).reshape(m, kT)
-            L = cholesky_psd(Q, eps=self.linalg_opts["force_psd_eps"],
-                             attempts=self.linalg_opts["force_psd_attempts"])
-            mu_all = jax.vmap(lambda Lq, b: jax.scipy.linalg.cho_solve((Lq, True), b))(
-                L, mu_part)
-            v_all = sample_mvn_from_precision(_fold(key, 2), Q, equilibrate=True,
-                                              **self.linalg_opts)  # (m, kT)
+            DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])
+            bands = build_v_bands(DtLD, G, penalty_half_bandwidth(self.tf_order))
+            bands_e, s = equilibrate_bands(bands)
+            L = block_banded_cholesky(bands_e)
+            mu_part = jnp.einsum("ijt,ia->jta", Mu0 * Sinv2, W)   # (m, T, k)
+            mu_tk = block_banded_solve(L, mu_part * s) * s
+            z = jax.random.normal(_fold(key, 2), (m, T, k), self.dtype)
+            v_tk = block_banded_solve_upper(L, z) * s
+            # constraints pack embed-major (factor.py:851): (m, T, k) -> (m, kT)
+            mu_all = mu_tk.transpose(0, 2, 1).reshape(m, kT)
+            v_all = v_tk.transpose(0, 2, 1).reshape(m, kT)
         else:
             mu_all = jnp.zeros((m, kT), self.dtype)
             v_all = self._sample_v_prior(_fold(key, 2), state["lam2"],

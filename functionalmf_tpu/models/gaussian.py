@@ -93,24 +93,24 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         return dict(state, W=(Wnew * mask).astype(self.dtype))
 
     def _gaussian_update_V(self, state, w8, wy, key):
-        """All-columns GLS posterior in one batched Cholesky (factor.py:364-409).
+        """All-columns GLS posterior via the block-banded Cholesky kernel
+        (factor.py:364-409, where the reference crossed into CHOLMOD).
 
-        Per column j the precision is Q_j = Q_lik + kron(I_k, D^T Lam_j D)
-        where Q_lik is diagonal across depth and dense across embeddings.
+        In time-major ordering the precision Q_j = Q_lik + kron(I_k, DtLD_j)
+        is block-banded: diagonal blocks G_t + DtLD[t,t] I_k (dense over
+        embeddings), off-diagonals DtLD[t,t-d] I_k — O(T p^2 k^3) per column
+        instead of a dense (kT)^3 factorization (ops/banded.py).
         """
-        k, T, m = self.nembeds, self.ndepth, self.ncols
+        from functionalmf_tpu.ops.banded import build_v_bands, sample_mvn_block_banded
+        from functionalmf_tpu.ops.penalty import penalty_half_bandwidth
         W = state["W"] * self._wmask
         # G[j,t,a,b] = sum_i w8[i,j,t] W[i,a] W[i,b]
         G = jnp.einsum("ijt,ia,ib->jtab", w8, W, W)
-        I_T = jnp.eye(T, dtype=self.dtype)
-        I_k = jnp.eye(k, dtype=self.dtype)
         DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])   # (m, T, T)
-        Q = (jnp.einsum("jtab,ts->jatbs", G, I_T)
-             + jnp.einsum("ab,jts->jatbs", I_k, DtLD)).reshape(m, k * T, k * T)
-        mu_part = jnp.einsum("ijt,ia->jat", wy, W).reshape(m, k * T)
-        x = sample_mvn_from_precision(key, Q, mu_part=mu_part,
-                                      equilibrate=True, **self.linalg_opts)
-        Vnew = x.reshape(m, k, T).transpose(0, 2, 1)
+        bands = build_v_bands(DtLD, G, penalty_half_bandwidth(self.tf_order))
+        mu_part = jnp.einsum("ijt,ia->jta", wy, W)                # (m, T, k)
+        Vnew = sample_mvn_block_banded(key, bands, mu_part=mu_part,
+                                       equilibrate=True)
         return dict(state, V=Vnew.astype(self.dtype))
 
     def _update_nu2(self, state, pdata, key):

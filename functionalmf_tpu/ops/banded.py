@@ -1,0 +1,260 @@
+"""Block-banded Cholesky factorization, solves, and MVN sampling.
+
+TPU-native replacement for CHOLMOD's sparse Cholesky on the BTF V-update
+precision (reference fast_mvn.py:36-47, factor.py:364-409): in time-major
+ordering x[(t, a)] = V[t, a], the posterior precision
+
+    Q = Q_lik + kron(I_k, Delta^T Lam Delta)
+
+is *block-banded*: the diagonal blocks are G_t + DtLD[t, t] I_k (G_t the
+k x k likelihood Gram at depth t, dense across embeddings) and the d-th
+sub-diagonal blocks are DtLD[t, t-d] I_k, with half-bandwidth
+p = tf_order + 1 (ops/penalty.py:penalty_half_bandwidth).
+
+The factorization is a `lax.scan` over the T block rows with p unrolled
+k x k block operations per step — O(T p^2 k^3) FLOPs instead of the dense
+(kT)^3/3, and every op batches over columns/chains via leading dims. This
+is the honest sequence-parallelism analog for the depth axis (SURVEY.md §5):
+the Markov structure of the precision is what scales long curves.
+
+Layout: bands[..., t, d, :, :] = block (t, t-d), d = 0..p; entries with
+d > t must be zero. All functions broadcast over leading batch dims.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "build_v_bands",
+    "block_banded_cholesky",
+    "block_banded_solve_lower",
+    "block_banded_solve_upper",
+    "block_banded_solve",
+    "sample_mvn_block_banded",
+    "bands_to_dense",
+]
+
+
+def _tsolve_right(Lcc, S):
+    """X such that X Lcc^T = S (Lcc lower-triangular)."""
+    return jax.lax.linalg.triangular_solve(
+        Lcc, S, left_side=False, lower=True, transpose_a=True)
+
+
+def build_v_bands(DtLD, G, p: int):
+    """Assemble the V-update precision bands.
+
+    Args:
+      DtLD: (..., T, T) trend-filtering Gram (banded with half-bandwidth p).
+      G:    (..., T, k, k) per-depth likelihood Gram (dense over embeds),
+            or None for the prior-only precision.
+    Returns bands (..., T, p+1, k, k).
+    """
+    T = DtLD.shape[-1]
+    k = G.shape[-1] if G is not None else 1
+    eye = jnp.eye(k, dtype=DtLD.dtype)
+    cols = []
+    for d in range(p + 1):
+        diag = jnp.diagonal(DtLD, offset=-d, axis1=-2, axis2=-1)  # (..., T-d)
+        pad = [(0, 0)] * (diag.ndim - 1) + [(d, 0)]
+        diag = jnp.pad(diag, pad)  # align so entry t is block (t, t-d)
+        cols.append(diag[..., :, None, None] * eye)
+    bands = jnp.stack(cols, axis=-3)  # (..., T, p+1, k, k)
+    if G is not None:
+        bands = bands.at[..., :, 0, :, :].add(G)
+    return bands
+
+
+def bands_to_dense(bands):
+    """Dense (..., T*k, T*k) reconstruction (for tests)."""
+    *batch, T, p1, k, _ = bands.shape
+    p = p1 - 1
+    Q = jnp.zeros(tuple(batch) + (T, k, T, k), bands.dtype)
+    for t in range(T):
+        for d in range(min(p, t) + 1):
+            blk = bands[..., t, d, :, :]
+            Q = Q.at[..., t, :, t - d, :].set(blk)
+            if d > 0:
+                Q = Q.at[..., t - d, :, t, :].set(jnp.swapaxes(blk, -1, -2))
+    return Q.reshape(tuple(batch) + (T * k, T * k))
+
+
+def block_banded_cholesky(bands, jitter: float = 0.0,
+                          psd_attempts: int = 2, psd_eps: float = 1e-4):
+    """Lower block-banded Cholesky: L with the same band layout.
+
+    Sequential scan over block rows; the carry is the sliding window of the
+    previous p factor rows. Batch dims broadcast.
+
+    Like the dense cholesky_psd (ops/mvn.py, mirroring fast_mvn.py:30-72),
+    the factorization retries with escalating *global* diagonal jitter for
+    batch elements whose factor came out non-finite: with horseshoe weights
+    the precision's lambda_min can sit below f32 resolution, and a per-block
+    fix cannot stop the tiny-pivot cascade.
+    """
+    L = _block_banded_cholesky_once(bands, jitter)
+    if psd_attempts <= 0:
+        return L
+    k = bands.shape[-1]
+    eyek = jnp.eye(k, dtype=bands.dtype)
+    # jitter is relative to the diagonal scale (callers equilibrate first,
+    # so the diagonal is ~1)
+    # (*batch, 1, 1, 1): broadcasts against the (*batch, T, k, k) diag slice
+    dscale = jnp.mean(jnp.abs(jnp.diagonal(bands[..., :, 0, :, :],
+                                           axis1=-2, axis2=-1)),
+                      axis=(-2, -1), keepdims=True)[..., None]
+    for a in range(psd_attempts):
+        bad = ~jnp.all(jnp.isfinite(L), axis=(-4, -3, -2, -1), keepdims=True)
+        eps = psd_eps * (100.0 ** a) * dscale
+        bands_j = bands.at[..., :, 0, :, :].add(eps * eyek)
+        Lr = _block_banded_cholesky_once(bands_j, jitter)
+        L = jnp.where(bad, Lr, L)
+    return L
+
+
+def _block_banded_cholesky_once(bands, jitter: float = 0.0):
+    *batch, T, p1, k, _ = bands.shape
+    p = p1 - 1
+    eyek = jnp.eye(k, dtype=bands.dtype)
+    if jitter:
+        bands = bands.at[..., :, 0, :, :].add(jitter * eyek)
+
+    # window[r] = factor row (t-1-r), blocks d=0..p; virtual rows (t-1-r < 0)
+    # hold identity diagonals so triangular solves are harmless no-ops.
+    init_window = jnp.broadcast_to(
+        eyek * (jnp.arange(p1) == 0)[:, None, None],
+        tuple(batch) + (p, p1, k, k)).astype(bands.dtype)
+
+    def step(window, B_t):
+        # B_t: (..., p+1, k, k) = row t of the precision bands
+        row = [None] * p1
+        # off-diagonal blocks, leftmost column first (d = p..1)
+        for d in range(p, 0, -1):
+            S = B_t[..., d, :, :]
+            # subtract L[t, kcol] L[c, kcol]^T for kcol < c = t-d
+            for dd in range(p, d, -1):  # kcol = t - dd < c
+                Lc_k = window[..., d - 1, dd - d, :, :]  # L[c, kcol], c-kcol = dd-d
+                S = S - jnp.einsum("...ij,...kj->...ik", row[dd], Lc_k)
+            Lcc = window[..., d - 1, 0, :, :]  # L[c, c]
+            row[d] = _tsolve_right(Lcc, S)
+        # diagonal block
+        S = B_t[..., 0, :, :]
+        for d in range(1, p1):
+            S = S - jnp.einsum("...ij,...kj->...ik", row[d], row[d])
+        row[0] = jnp.linalg.cholesky(S)
+        row_stack = jnp.stack(row, axis=-3)  # (..., p+1, k, k)
+        new_window = jnp.concatenate(
+            [row_stack[..., None, :, :, :],
+             window[..., : p - 1, :, :, :]], axis=-4) if p > 0 else window
+        return new_window, row_stack
+
+    # move T to the front for scan
+    bands_t = jnp.moveaxis(bands, -4, 0)
+    _, rows = jax.lax.scan(step, init_window, bands_t)
+    return jnp.moveaxis(rows, 0, -4)
+
+
+def block_banded_solve_lower(L, b):
+    """Solve L z = b with L block-banded lower; b (..., T, k)."""
+    *batch, T, p1, k, _ = L.shape
+    p = p1 - 1
+    init = jnp.zeros(tuple(batch) + (p, k), L.dtype)
+
+    def step(zwin, inp):
+        L_t, b_t = inp
+        s = b_t
+        for d in range(1, p1):
+            s = s - jnp.einsum("...ij,...j->...i", L_t[..., d, :, :],
+                               zwin[..., d - 1, :])
+        z_t = jax.lax.linalg.triangular_solve(
+            L_t[..., 0, :, :], s[..., None], left_side=True, lower=True)[..., 0]
+        new_win = jnp.concatenate(
+            [z_t[..., None, :], zwin[..., : p - 1, :]], axis=-2) if p > 0 else zwin
+        return new_win, z_t
+
+    L_t = jnp.moveaxis(L, -4, 0)
+    b_t = jnp.moveaxis(b, -2, 0)
+    _, z = jax.lax.scan(step, init, (L_t, b_t))
+    return jnp.moveaxis(z, 0, -2)
+
+
+def block_banded_solve_upper(L, b):
+    """Solve L^T x = b; b (..., T, k). Reverse scan."""
+    *batch, T, p1, k, _ = L.shape
+    p = p1 - 1
+    # x_t = L[t,t]^-T (b_t - sum_d L[t+d, d]^T x_{t+d})
+    init_x = jnp.zeros(tuple(batch) + (p, k), L.dtype)
+    init_rows = jnp.zeros(tuple(batch) + (p, p1, k, k), L.dtype)
+
+    def step(carry, inp):
+        xwin, rowwin = carry  # rows t+1..t+p (nearest first)
+        L_t, b_t = inp
+        s = b_t
+        for d in range(1, p1):
+            Ltpd = rowwin[..., d - 1, d, :, :]  # L[t+d, d]
+            s = s - jnp.einsum("...ji,...j->...i", Ltpd, xwin[..., d - 1, :])
+        x_t = jax.lax.linalg.triangular_solve(
+            L_t[..., 0, :, :], s[..., None], left_side=True, lower=True,
+            transpose_a=True)[..., 0]
+        new_xwin = jnp.concatenate(
+            [x_t[..., None, :], xwin[..., : p - 1, :]], axis=-2) if p > 0 else xwin
+        new_rowwin = jnp.concatenate(
+            [L_t[..., None, :, :, :], rowwin[..., : p - 1, :, :, :]],
+            axis=-4) if p > 0 else rowwin
+        return (new_xwin, new_rowwin), x_t
+
+    L_rev = jnp.moveaxis(L, -4, 0)[::-1]
+    b_rev = jnp.moveaxis(b, -2, 0)[::-1]
+    _, x = jax.lax.scan(step, (init_x, init_rows), (L_rev, b_rev))
+    return jnp.moveaxis(x[::-1], 0, -2)
+
+
+def block_banded_solve(L, b):
+    """Solve (L L^T) x = b."""
+    return block_banded_solve_upper(L, block_banded_solve_lower(L, b))
+
+
+def equilibrate_bands(bands):
+    """Block-Jacobi equilibration: Q' = D Q D, D = diag(Q)^(-1/2).
+
+    Returns (bands', s) with s (..., T, k); undo a draw with x = s * x'.
+    Keeps the horseshoe's 1e-6..1e6 diagonal range factorizable in f32
+    (same trick as the dense path, ops/mvn.py).
+    """
+    p1 = bands.shape[-3]
+    diag = jnp.diagonal(bands[..., :, 0, :, :], axis1=-2, axis2=-1)  # (..., T, k)
+    s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0))
+    scaled = []
+    for d in range(p1):
+        s_t = s[..., :, :, None]
+        # s_{t-d}: shift forward by d along T
+        s_shift = jnp.roll(s, d, axis=-2)
+        if d > 0:
+            mask = (jnp.arange(s.shape[-2]) >= d).astype(s.dtype)
+            s_shift = s_shift * mask[..., :, None]
+        scaled.append(bands[..., :, d, :, :] * s_t * s_shift[..., :, None, :])
+    return jnp.stack(scaled, axis=-3), s
+
+
+def sample_mvn_block_banded(key, bands=None, mu_part=None, L=None,
+                            jitter: float = 0.0, equilibrate: bool = False):
+    """theta ~ N(Q^-1 mu_part, Q^-1) for block-banded Q (or its factor L).
+
+    Matches the dense sample_mvn_from_precision semantics
+    (ops/mvn.py): x = L^-T z + Q^-1 mu_part. Returns (..., T, k).
+    """
+    if equilibrate and L is None:
+        bands, s = equilibrate_bands(bands)
+        mp = None if mu_part is None else mu_part * s
+        x = sample_mvn_block_banded(key, bands, mu_part=mp, jitter=jitter,
+                                    equilibrate=False)
+        return x * s
+    if L is None:
+        L = block_banded_cholesky(bands, jitter=jitter)
+    *batch, T, p1, k, _ = L.shape
+    z = jax.random.normal(key, tuple(batch) + (T, k), dtype=L.dtype)
+    x = block_banded_solve_upper(L, z)
+    if mu_part is not None:
+        x = x + block_banded_solve(L, mu_part)
+    return x

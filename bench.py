@@ -70,6 +70,21 @@ def main():
     dt = time.time() - t0
     sweeps_per_sec = nsweeps / dt
 
+    # secondary metric: min-across-params ESS/sec (BASELINE.md) from a short
+    # post-warmup sampling run
+    ess_per_sec = None
+    try:
+        from functionalmf_tpu.utils.diagnostics import min_ess_per_param
+        ns = max(50, nsweeps // 2)
+        t0 = time.time()
+        res = model.run_gibbs(Y, nburn=0, nthin=1, nsamples=ns, verbose=False)
+        dt_s = time.time() - t0
+        ess = min_ess_per_param(res, keys=("W", "lam2", "sigma2"),
+                                max_params=128)
+        ess_per_sec = ess / dt_s
+    except Exception:
+        pass
+
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench", "baseline_cpu.json")
     vs = None
@@ -77,12 +92,15 @@ def main():
         with open(base_path) as f:
             vs = sweeps_per_sec / json.load(f)["sweeps_per_sec"]
 
-    print(json.dumps({
+    out = {
         "metric": "gibbs_sweeps_per_sec_gdelt_constrained_poisson",
         "value": round(sweeps_per_sec, 3),
         "unit": "sweeps/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }
+    if ess_per_sec is not None:
+        out["min_ess_per_sec"] = round(ess_per_sec, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ nsamples, callback)`` returning a dict of posterior draws keyed
 """
 from __future__ import annotations
 
-import itertools
+import os
 from functools import partial
 
 import numpy as np
@@ -374,6 +374,39 @@ class BayesianTensorFiltering:
             state = update_V(state, data, _fold(key, 15))
         return state
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume (SURVEY.md §5: the reference has none; TPU runs
+    # are long, so run_gibbs(checkpoint_path=..., resume=True) persists the
+    # chain state and collected draws at chunk boundaries)
+    # ------------------------------------------------------------------
+    def _save_checkpoint(self, path, state, offset, burn_done, collected,
+                         chunks_out):
+        payload = {"__offset": offset, "__burn_done": burn_done,
+                   "__collected": collected, "__nchunks_out": len(chunks_out)}
+        for k, v in state.items():
+            payload["state__" + k] = np.asarray(jax.device_get(v))
+        for ci, chunk in enumerate(chunks_out):
+            for k, v in chunk.items():
+                payload[f"out{ci}__{k}"] = np.asarray(v)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+
+    def _load_checkpoint(self, path):
+        z = np.load(path)
+        offset = int(z["__offset"])
+        burn_done = int(z["__burn_done"])
+        collected = int(z["__collected"])
+        nchunks = int(z["__nchunks_out"])
+        state = {k[len("state__"):]: jnp.asarray(z[k])
+                 for k in z.files if k.startswith("state__")}
+        chunks_out = []
+        for ci in range(nchunks):
+            pre = f"out{ci}__"
+            chunks_out.append({k[len(pre):]: z[k] for k in z.files
+                               if k.startswith(pre)})
+        return state, offset, burn_done, collected, chunks_out
+
     def mark_data_dirty(self):
         """Tell the callback-mode driver that the `data` object changed and
         must be re-prepared before the next sweep (see run_gibbs)."""
@@ -486,25 +519,43 @@ class BayesianTensorFiltering:
             S = max(1, min(nsamples, self.max_sweeps_per_call // max(1, nthin)))
             burn_chunk, sample_chunk = self._get_compiled_chunks(nthin, C, S)
 
-            # burn-in, rounded UP to whole chunks (a few extra burn sweeps
-            # are harmless and avoid a second compilation for the remainder)
+            checkpoint_path = kwargs.get("checkpoint_path")
             offset = 0
-            nchunks = -(-nburn // C) if nburn else 0
-            for ci in range(nchunks):
-                state = burn_chunk(state, pdata, key, jnp.uint32(offset))
-                offset += C
-                if verbose and (ci + 1) % max(1, print_freq // C) == 0:
-                    jax.block_until_ready(state["W"])
-                    print("\tStep {}".format(offset))
-
-            # sampling, in chunks of S thinned draws; surplus truncated
+            burn_done = 0
             chunks_out = []
             collected = 0
+            if checkpoint_path and kwargs.get("resume") and \
+                    os.path.exists(checkpoint_path):
+                state, offset, burn_done, collected, chunks_out = \
+                    self._load_checkpoint(checkpoint_path)
+                if verbose:
+                    print("\tResumed at step {} ({} samples)".format(
+                        offset, collected))
+
+            def maybe_checkpoint():
+                if checkpoint_path:
+                    self._save_checkpoint(checkpoint_path, state, offset,
+                                          burn_done, collected, chunks_out)
+
+            # burn-in, rounded UP to whole chunks (a few extra burn sweeps
+            # are harmless and avoid a second compilation for the remainder)
+            nchunks = -(-nburn // C) if nburn else 0
+            while burn_done < nchunks:
+                state = burn_chunk(state, pdata, key, jnp.uint32(offset))
+                offset += C
+                burn_done += 1
+                if verbose and burn_done % max(1, print_freq // C) == 0:
+                    jax.block_until_ready(state["W"])
+                    print("\tStep {}".format(offset))
+                maybe_checkpoint()
+
+            # sampling, in chunks of S thinned draws; surplus truncated
             while collected < nsamples:
                 state, outs = sample_chunk(state, pdata, key, jnp.uint32(offset))
                 offset += S * nthin
                 chunks_out.append(jax.device_get(outs))
                 collected += S
+                maybe_checkpoint()
             outs = {k: np.concatenate([c[k] for c in chunks_out])[:nsamples]
                     for k in chunks_out[0]}
             self._state = state

@@ -24,7 +24,7 @@ __all__ = ["BinomialBayesianTensorFiltering"]
 class BinomialBayesianTensorFiltering(GaussianBayesianTensorFiltering):
     """PG-augmented binomial BTF (factor.py:425-460). Data is (Y, N)."""
 
-    def __init__(self, nrows, ncols, ndepth, pg_seed=42, pg_num_terms=64,
+    def __init__(self, nrows, ncols, ndepth, pg_seed=42, pg_num_terms=16,
                  **kwargs):
         super().__init__(nrows, ncols, ndepth, **kwargs)
         self.pg_num_terms = int(pg_num_terms)

@@ -59,12 +59,25 @@ def pg_var(b, c):
     return b * jnp.where(small, 1.0 / 24.0, v)
 
 
-def polya_gamma(key, b, c, num_terms: int = 64):
+def polya_gamma(key, b, c, num_terms: int = 16, use_mt: bool = True,
+                normal_approx_above: float = 50.0):
     """Draw omega ~ PG(b, c), elementwise over broadcast(b, c).
 
     b may be any nonnegative real (b = 0 returns exactly 0, used for
     missing cells); c any real. Replaces `PyPolyaGamma.pgdrawv`
     (factor.py:458-460).
+
+    num_terms=16 with the tail-mean correction leaves a relative variance
+    deficit of ~1e-4 (the discarded terms' variance decays as k^-4) —
+    far below MC noise. use_mt selects the fixed-round Marsaglia-Tsang
+    gamma sampler (ops/gamma.py), much faster on TPU than
+    jax.random.gamma's all-lanes-until-converged while_loop.
+
+    Cells with b >= `normal_approx_above` use the moment-matched normal
+    approximation instead (PG(b, c) is a sum of b PG(1, c) variables, so it
+    is asymptotically normal with relative skew O(b^-1/2); the native
+    pypolyagamma makes the same switch for large b). Set it to jnp.inf to
+    force the gamma-sum everywhere.
     """
     b = jnp.asarray(b)
     c = jnp.asarray(c)
@@ -74,16 +87,27 @@ def polya_gamma(key, b, c, num_terms: int = 64):
     c = jnp.broadcast_to(c, shape).astype(dtype)
 
     pos = b > 0
-    b_safe = jnp.where(pos, b, 1.0)
+    big = b >= normal_approx_above
+    b_safe = jnp.where(pos & ~big, b, 1.0)  # skip gamma work for big-b lanes
 
     ks = (jnp.arange(num_terms, dtype=dtype) + 0.5) ** 2  # (K,)
     denom = ks.reshape((num_terms,) + (1,) * len(shape)) + (c / (2.0 * jnp.pi)) ** 2
 
-    g = jax.random.gamma(key, b_safe, shape=(num_terms,) + shape, dtype=dtype)
+    k_g, k_n = jax.random.split(key)
+    if use_mt:
+        from functionalmf_tpu.ops.gamma import gamma_mt
+        g = gamma_mt(k_g, b_safe, shape=(num_terms,) + shape, dtype=dtype)
+    else:
+        g = jax.random.gamma(k_g, b_safe, shape=(num_terms,) + shape, dtype=dtype)
     trunc = jnp.sum(g / denom, axis=0) / _TWO_PI_SQ
 
     mean_full = pg_mean(b, c).astype(dtype)
-    mean_trunc = b * jnp.sum(1.0 / denom, axis=0) / _TWO_PI_SQ
+    mean_trunc = b_safe * jnp.sum(1.0 / denom, axis=0) / _TWO_PI_SQ
     tail = jnp.maximum(mean_full - mean_trunc, 0.0)
+    gamma_draw = trunc + tail
 
-    return jnp.where(pos, trunc + tail, 0.0)
+    z = jax.random.normal(k_n, shape, dtype)
+    normal_draw = jnp.maximum(
+        mean_full + z * jnp.sqrt(pg_var(b, c).astype(dtype)), 1e-12)
+
+    return jnp.where(pos, jnp.where(big, normal_draw, gamma_draw), 0.0)

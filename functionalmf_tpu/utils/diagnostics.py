@@ -1,0 +1,76 @@
+"""MCMC diagnostics: effective sample size and split-R-hat.
+
+The reference ships no diagnostics (quality control is visual, SURVEY.md
+§4); these are first-class here because the headline metric is ESS/sec.
+Standard definitions (Geyer initial monotone positive sequence for ESS;
+Gelman et al. split-R-hat).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["effective_sample_size", "split_rhat", "min_ess_per_param"]
+
+
+def _autocov(x):
+    n = len(x)
+    x = x - x.mean()
+    # FFT autocovariance
+    m = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, m)
+    acov = np.fft.irfft(f * np.conj(f), m)[:n].real / n
+    return acov
+
+
+def effective_sample_size(draws):
+    """ESS of a 1-D chain via Geyer's initial monotone positive sequence."""
+    x = np.asarray(draws, dtype=float)
+    n = len(x)
+    if n < 4 or np.allclose(x.var(), 0):
+        return float(n)
+    acov = _autocov(x)
+    rho = acov / acov[0]
+    # pair sums Gamma_k = rho_{2k} + rho_{2k+1}
+    gam = rho[:-1:2][: n // 2] + rho[1::2][: n // 2]
+    # initial positive + monotone decreasing sequence
+    pos = gam > 0
+    if not pos[0]:
+        return float(n)
+    stop = np.argmin(pos) if not pos.all() else len(gam)
+    gam = gam[:stop]
+    gam = np.minimum.accumulate(gam)
+    tau = -1.0 + 2.0 * gam.sum()
+    return float(min(n, max(1.0, n / max(tau, 1e-12))))
+
+
+def min_ess_per_param(samples_dict, keys=("W", "V", "lam2", "sigma2"),
+                      max_params: int = 512, rng=None):
+    """Minimum ESS across (a subsample of) scalar parameters, the speed
+    denominator of BASELINE.md ("min-across-params ESS/sec")."""
+    rng = np.random.default_rng(0) if rng is None else rng
+    ess_min = np.inf
+    for k in keys:
+        if k not in samples_dict:
+            continue
+        v = np.asarray(samples_dict[k])
+        flat = v.reshape(v.shape[0], -1)
+        cols = flat.shape[1]
+        idx = (np.arange(cols) if cols <= max_params
+               else rng.choice(cols, size=max_params, replace=False))
+        for j in idx:
+            ess_min = min(ess_min, effective_sample_size(flat[:, j]))
+    return float(ess_min)
+
+
+def split_rhat(chains):
+    """Split-R-hat for (nchains, nsamples) scalar draws."""
+    x = np.asarray(chains, dtype=float)
+    c, n = x.shape
+    half = n // 2
+    splits = np.concatenate([x[:, :half], x[:, half:2 * half]], axis=0)
+    m, n2 = splits.shape
+    means = splits.mean(axis=1)
+    B = n2 * means.var(ddof=1)
+    W = splits.var(axis=1, ddof=1).mean()
+    var_hat = (n2 - 1) / n2 * W + B / n2
+    return float(np.sqrt(var_hat / max(W, 1e-300)))

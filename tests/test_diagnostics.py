@@ -1,0 +1,64 @@
+"""ESS / R-hat diagnostics and checkpoint-resume tests."""
+import numpy as np
+
+from functionalmf_tpu.utils.diagnostics import (
+    effective_sample_size, min_ess_per_param, split_rhat)
+
+
+def test_ess_iid(rng):
+    x = rng.normal(size=4000)
+    ess = effective_sample_size(x)
+    assert 2500 < ess <= 4000
+
+
+def test_ess_ar1(rng):
+    # AR(1) with rho: ESS ~ n (1-rho)/(1+rho)
+    rho, n = 0.9, 20000
+    e = rng.normal(size=n)
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + e[i]
+    ess = effective_sample_size(x)
+    expect = n * (1 - rho) / (1 + rho)
+    assert 0.5 * expect < ess < 2.0 * expect, (ess, expect)
+
+
+def test_ess_constant():
+    assert effective_sample_size(np.ones(100)) == 100.0
+
+
+def test_min_ess_per_param(rng):
+    d = {"W": rng.normal(size=(500, 3, 2)), "lam2": rng.normal(size=(500, 1))}
+    ess = min_ess_per_param(d, keys=("W", "lam2"))
+    assert 100 < ess <= 500
+
+
+def test_split_rhat(rng):
+    good = rng.normal(size=(4, 1000))
+    assert split_rhat(good) < 1.05
+    bad = rng.normal(size=(4, 1000)) + np.arange(4)[:, None] * 3
+    assert split_rhat(bad) > 1.5
+
+
+def test_checkpoint_resume(rng, tmp_path):
+    from functionalmf_tpu import GaussianBayesianTensorFiltering
+    Y = rng.normal(size=(4, 3, 5))
+    ck = str(tmp_path / "chain.npz")
+
+    m1 = GaussianBayesianTensorFiltering(4, 3, 5, nembeds=2, seed=7)
+    m1.max_sweeps_per_call = 8
+    full = m1.run_gibbs(Y, nburn=16, nthin=1, nsamples=12, verbose=False)
+
+    # identical run, but crash after the first checkpointed chunks and resume
+    m2 = GaussianBayesianTensorFiltering(4, 3, 5, nembeds=2, seed=7)
+    m2.max_sweeps_per_call = 8
+    m2.run_gibbs(Y, nburn=16, nthin=1, nsamples=12, verbose=False,
+                 checkpoint_path=ck)
+    assert (tmp_path / "chain.npz").exists()
+
+    m3 = GaussianBayesianTensorFiltering(4, 3, 5, nembeds=2, seed=7)
+    m3.max_sweeps_per_call = 8
+    resumed = m3.run_gibbs(Y, nburn=16, nthin=1, nsamples=12, verbose=False,
+                           checkpoint_path=ck, resume=True)
+    # resume from a *complete* checkpoint reproduces the run exactly
+    np.testing.assert_allclose(resumed["W"], full["W"], rtol=1e-5)

@@ -14,9 +14,25 @@ from functionalmf_tpu.models.gaussian import GaussianBayesianTensorFiltering
 __all__ = [
     "BayesianTensorFiltering",
     "GaussianBayesianTensorFiltering",
+    "BinomialBayesianTensorFiltering",
+    "NegativeBinomialBayesianTensorFiltering",
+    "NonconjugateBayesianTensorFiltering",
+    "ConstrainedNonconjugateBayesianTensorFiltering",
+    "gass",
+    "elliptical_slice",
+    "polya_gamma",
+    "sample_mvn",
+    "sample_mvn_from_precision",
+    "sample_mvn_from_covariance",
 ]
 
 __version__ = "0.1.0"
+
+from functionalmf_tpu.samplers.gass import gass
+from functionalmf_tpu.samplers.ess import elliptical_slice
+from functionalmf_tpu.ops.polyagamma import polya_gamma
+from functionalmf_tpu.ops.mvn import (
+    sample_mvn, sample_mvn_from_precision, sample_mvn_from_covariance)
 
 
 def __getattr__(name):

@@ -56,10 +56,15 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                  multiprocessing=None,  # parity kwarg (unused)
                  sharedprefix=None,     # parity kwarg (unused)
                  worker_init=None,      # parity kwarg (unused)
+                 v_block_size=32,       # time-block size for the V GASS
+                                        # updates; None/>=ndepth = the
+                                        # reference's joint update
                  **kwargs):
         super().__init__(nrows, ncols, ndepth, **kwargs)
         self.loglikelihood = loglikelihood
         self.gass_ngrid = int(gass_ngrid)
+        self.v_block_size = (None if v_block_size is None
+                             else int(v_block_size))
 
         Constraints = np.asarray(Constraints, dtype=np.float32)
         self.Constraints_A = jnp.asarray(Constraints[:, :-1], self.dtype)  # (J, T)
@@ -179,57 +184,60 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
     # V update: vmapped GASS over columns (factor.py:759-892, 993-1000)
     # ------------------------------------------------------------------
     def _update_V_gass(self, state, data, key):
+        """Blocked GASS over time segments of each column.
+
+        The reference updates each V_j *jointly* (all kT coordinates on one
+        ellipse, factor.py:759-845). At scale this mixes pathologically: the
+        feasible arc of a 1000+-dim ellipse under thousands of constraints
+        is O(1e-3) radians, so per-sweep movement is negligible. We instead
+        run GASS sequentially on time blocks of size `v_block_size`
+        conditional on the rest — still an exact Gibbs kernel (the
+        conditional Gaussian prior of a block under the block-banded
+        precision is computed with the banded kernel), with far larger
+        feasible arcs and lower dimension per update. v_block_size >= T
+        reproduces the reference's joint update exactly.
+
+        Everything is t-major: x = V_j reshaped (T*k,), constraints
+        A[(i, jc), (t, a)] = CA[jc, t] W[i, a].
+        """
+        from functionalmf_tpu.ops.banded import (
+            build_v_bands, block_banded_cholesky, block_banded_matvec,
+            block_banded_solve, block_banded_solve_upper, equilibrate_bands,
+            slice_bands)
+        from functionalmf_tpu.ops.penalty import penalty_half_bandwidth
+
         n, m, T, k = self.nrows, self.ncols, self.ndepth, self.nembeds
         W = state["W"] * self._wmask
         CA, CC = self.Constraints_A, self.Constraints_C
-        kT = k * T
 
-        # Constraints from the opposite embedding (factor.py:847-854):
-        # A_v[(i, j'), (a, t)] = CA[j', t] * W[i, a]   (embed-major packing)
-        A_v = (CA[None, :, None, :] * W[:, None, :, None]).reshape(
-            n * self.nconstraints, kT)
+        # t-major constraint matrix (equivalent to factor.py:847-854 up to
+        # the packing order)
+        A_tm = (CA[None, :, :, None] * W[:, None, None, :]).reshape(
+            n * self.nconstraints, T * k)
         c_v = jnp.tile(CC, n)
 
-        # Per-column proposal precision: trend-filtering prior (+ EP GLS).
-        # Without EP the precision is block-diagonal over embeddings, so the
-        # draw uses the structured (m, T, T) path instead of a dense
-        # (m, kT, kT) Cholesky — the single hottest op in the sweep.
+        # block-banded proposal precision: trend-filtering prior (+ EP GLS)
+        DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])
+        p = penalty_half_bandwidth(self.tf_order)
         if self.Mu_ep is not None:
-            # EP couples embeddings through the GLS term, but the coupled
-            # precision is still block-banded in time-major order: use the
-            # structured kernel (factor.py:771-796 used CHOLMOD here).
-            from functionalmf_tpu.ops.banded import (
-                build_v_bands, block_banded_cholesky, block_banded_solve,
-                equilibrate_bands, block_banded_solve_upper)
-            from functionalmf_tpu.ops.penalty import penalty_half_bandwidth
             Sinv2 = 1.0 / (self.Sigma_ep ** 2)
             Sinv2 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, Sinv2)
             Mu0 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, self.Mu_ep)
             G = jnp.einsum("ijt,ia,ib->jtab", Sinv2, W, W)
-            DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])
-            bands = build_v_bands(DtLD, G, penalty_half_bandwidth(self.tf_order))
-            bands_e, s = equilibrate_bands(bands)
-            L = block_banded_cholesky(bands_e)
-            mu_part = jnp.einsum("ijt,ia->jta", Mu0 * Sinv2, W)   # (m, T, k)
-            mu_tk = block_banded_solve(L, mu_part * s) * s
-            z = jax.random.normal(_fold(key, 2), (m, T, k), self.dtype)
-            v_tk = block_banded_solve_upper(L, z) * s
-            # constraints pack embed-major (factor.py:851): (m, T, k) -> (m, kT)
-            mu_all = mu_tk.transpose(0, 2, 1).reshape(m, kT)
-            v_all = v_tk.transpose(0, 2, 1).reshape(m, kT)
+            mu_part = jnp.einsum("ijt,ia->jta", Mu0 * Sinv2, W)  # (m, T, k)
         else:
-            mu_all = jnp.zeros((m, kT), self.dtype)
-            v_all = self._sample_v_prior(_fold(key, 2), state["lam2"],
-                                         state["Tau2"])
+            G = jnp.zeros((m, T, k, k), self.dtype)
+            mu_part = jnp.zeros((m, T, k), self.dtype)
+        bands = build_v_bands(DtLD, G, p)
 
         data_c = data
         user_ll = self.loglikelihood
         has_ep = self.Mu_ep is not None
         Mu_ep, Sigma_ep = self.Mu_ep, self.Sigma_ep
 
-        def col_gass(j, vflat_j, mu_j, v_j, k_j):
-            def loglik(cands):  # (G, kT) -> (G,)
-                Vg = cands.reshape(-1, k, T).transpose(0, 2, 1)  # (G, T, k)
+        def col_gass(j, x_j, mu_j, v_j, k_j):
+            def loglik(cands):  # (G, T*k) -> (G,)
+                Vg = cands.reshape(-1, T, k)
                 tau = jnp.einsum("gtk,nk->gnt", Vg, W)
 
                 def one(tau_g, V_g):
@@ -240,15 +248,42 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
 
                 return jax.vmap(one)(tau, Vg)
 
-            x_new, _ = gass(k_j, vflat_j, None, loglik, A_v, c_v,
+            x_new, _ = gass(k_j, x_j, None, loglik, A_tm, c_v,
                             mu=mu_j, ngrid=self.gass_ngrid, v=v_j)
             return x_new
 
-        keys = jax.vmap(lambda j: _fold(key, 3, j))(jnp.arange(m, dtype=jnp.uint32))
-        Vflat = state["V"].transpose(0, 2, 1).reshape(m, kT)  # embed-major
-        V_new = jax.vmap(col_gass)(jnp.arange(m), Vflat, mu_all, v_all, keys)
-        V_new = V_new.reshape(m, k, T).transpose(0, 2, 1)
-        return dict(state, V=V_new.astype(self.dtype))
+        bs = self.v_block_size or T
+        X = state["V"]  # (m, T, k)
+        for bi, s0 in enumerate(range(0, T, bs)):
+            e0 = min(s0 + bs, T)
+            size = e0 - s0
+            sub = slice_bands(bands, s0, size)  # (m, size, p+1, k, k)
+            sub_e, scale = equilibrate_bands(sub)
+            L = block_banded_cholesky(sub_e)
+            # conditional mean: Q_bb^-1 (mu_part_b - Q_br x_rest), with the
+            # cross term as (Q x)_b - Q_bb x_b
+            qx = block_banded_matvec(bands, X)[:, s0:e0]
+            qbb_xb = block_banded_matvec(sub, X[:, s0:e0])
+            rhs = mu_part[:, s0:e0] - (qx - qbb_xb)
+            mu_b = block_banded_solve(L, rhs * scale) * scale
+            z = jax.random.normal(_fold(key, 2, bi), (m, size, k), self.dtype)
+            v_b = block_banded_solve_upper(L, z) * scale
+
+            # embed the block into full-length t-major vectors: frozen
+            # coordinates ride along as part of mu (their x0 and v are 0,
+            # so the ellipse leaves them exactly at x)
+            tmask = jnp.zeros((T, 1), self.dtype).at[s0:e0].set(1.0)
+            v_full = (jnp.zeros((m, T, k), self.dtype)
+                      .at[:, s0:e0].set(v_b)).reshape(m, T * k)
+            mu_full = (X * (1.0 - tmask)
+                       + jnp.zeros((m, T, k), self.dtype)
+                       .at[:, s0:e0].set(mu_b)).reshape(m, T * k)
+
+            keys = jax.vmap(lambda j: _fold(key, 3, bi, j))(
+                jnp.arange(m, dtype=jnp.uint32))
+            X = jax.vmap(col_gass)(jnp.arange(m), X.reshape(m, T * k),
+                                   mu_full, v_full, keys).reshape(m, T, k)
+        return dict(state, V=X.astype(self.dtype))
 
     # ------------------------------------------------------------------
     def _make_sweep(self):

@@ -66,6 +66,36 @@ def build_v_bands(DtLD, G, p: int):
     return bands
 
 
+def block_banded_matvec(bands, x):
+    """y = Q x for block-banded symmetric Q; x (..., T, k) -> y (..., T, k)."""
+    *batch, T, p1, k, _ = bands.shape
+    p = p1 - 1
+    y = jnp.einsum("...tij,...tj->...ti", bands[..., :, 0, :, :], x)
+    for d in range(1, p1):
+        blk = bands[..., d:, d, :, :]          # blocks (t, t-d) for t >= d
+        lo = jnp.einsum("...tij,...tj->...ti", blk, x[..., : T - d, :])
+        hi = jnp.einsum("...tji,...tj->...ti", blk, x[..., d:, :])
+        pad_lo = [(0, 0)] * (y.ndim - 2) + [(d, 0), (0, 0)]
+        pad_hi = [(0, 0)] * (y.ndim - 2) + [(0, d), (0, 0)]
+        y = y + jnp.pad(lo, pad_lo) + jnp.pad(hi, pad_hi)
+    return y
+
+
+def slice_bands(bands, start: int, size: int):
+    """Extract the principal block-banded submatrix for time block
+    [start, start+size): entries that reference rows before `start` are
+    zeroed (they belong to the cross term, handled by the caller)."""
+    p1 = bands.shape[-3]
+    sub = bands[..., start:start + size, :, :, :]
+    for d in range(1, p1):
+        n_invalid = min(d, size)
+        if n_invalid > 0:
+            mask = (jnp.arange(size) >= d).astype(bands.dtype)
+            sub = sub.at[..., :, d, :, :].multiply(
+                mask[:, None, None])
+    return sub
+
+
 def bands_to_dense(bands):
     """Dense (..., T*k, T*k) reconstruction (for tests)."""
     *batch, T, p1, k, _ = bands.shape

@@ -79,6 +79,48 @@ def test_sampling_moments(rng, key):
     np.testing.assert_allclose(np.cov(X.T), cov_ref, atol=6 * sd.max()**2 / np.sqrt(4000) + 1e-3)
 
 
+def test_conditional_block_draw(rng, key):
+    """The blocked-V GASS machinery (models/constrained.py) relies on the
+    conditional N(Q_bb^-1 (mu_b - Q_br x_r), Q_bb^-1) computed from band
+    slices; verify mean and covariance against dense linear algebra."""
+    from functionalmf_tpu.ops.banded import (
+        block_banded_matvec, slice_bands, equilibrate_bands,
+        block_banded_solve_upper)
+    import jax
+    T, k = 11, 2
+    DtLD, G, p = _make_system(rng, T=T, k=k, m=1)
+    bands = build_v_bands(DtLD, G, p)
+    Q = np.asarray(bands_to_dense(bands), np.float64)[0]
+    X = jnp.asarray(rng.normal(size=(1, T, k)), jnp.float32)
+    mu_part = jnp.asarray(rng.normal(size=(1, T, k)), jnp.float32)
+
+    s0, size = 4, 3
+    sub = slice_bands(bands, s0, size)
+    sub_e, scale = equilibrate_bands(sub)
+    L = block_banded_cholesky(sub_e)
+    qx = block_banded_matvec(bands, X)[:, s0:s0 + size]
+    qbb = block_banded_matvec(sub, X[:, s0:s0 + size])
+    rhs = mu_part[:, s0:s0 + size] - (qx - qbb)
+    mu_b = np.asarray(block_banded_solve(L, rhs * scale) * scale)[0].reshape(-1)
+
+    bidx = np.arange(s0 * k, (s0 + size) * k)
+    ridx = np.setdiff1d(np.arange(T * k), bidx)
+    Qbb = Q[np.ix_(bidx, bidx)]
+    Qbr = Q[np.ix_(bidx, ridx)]
+    xr = np.asarray(X).reshape(-1)[ridx]
+    mu_ref = np.linalg.solve(Qbb, np.asarray(mu_part).reshape(-1)[bidx]
+                             - Qbr @ xr)
+    np.testing.assert_allclose(mu_b, mu_ref, rtol=1e-3, atol=1e-4)
+
+    draws = jax.vmap(lambda kk: (block_banded_solve_upper(
+        L, jax.random.normal(kk, (1, size, k))) * scale)[0])(
+        jax.random.split(key, 20000))
+    D = np.asarray(draws).reshape(20000, -1)
+    cov_ref = np.linalg.inv(Qbb)
+    np.testing.assert_allclose(np.cov(D.T), cov_ref,
+                               atol=8 * np.abs(cov_ref).max() / np.sqrt(20000))
+
+
 def test_prior_only_bands(rng):
     # G=None builds the kron(I_1, DtLD) scalar-block system
     DtLD, _, p = _make_system(rng, T=9, k=1, m=3)

@@ -128,6 +128,56 @@ def test_constrained_row_constraints(rng):
     assert res["W"].max() <= 2.0 + 1e-5, res["W"].max()
 
 
+def test_blocked_v_update_posterior(rng):
+    """Multi-block V GASS must target the same posterior as the joint
+    update: with a Gaussian likelihood and non-binding constraints the V
+    posterior mean has a closed form."""
+    nrows, ncols, ndepth, nembeds, nu2 = 5, 3, 12, 2, 0.3
+    W_true = rng.normal(size=(nrows, nembeds))
+    W_true[np.triu_indices(nembeds, 1)] = 0
+    V_true = rng.normal(size=(ncols, ndepth, nembeds))
+    Mu = np.einsum("nk,mtk->nmt", W_true, V_true)
+    Y = rng.normal(Mu, np.sqrt(nu2)).astype(np.float32)
+
+    def gauss_ll(data, WV, W, V, row=None, col=None):
+        Yd = data
+        if row is not None:
+            Yd = Yd[row]
+        if col is not None:
+            Yd = Yd[:, col]
+        return jnp.sum(-0.5 * (Yd - WV) ** 2 / nu2)
+
+    # constraints that never bind
+    Constraints = np.concatenate([np.eye(ndepth), np.full((ndepth, 1), -1e6)],
+                                 axis=1)
+    from functionalmf_tpu.ops.penalty import bayes_grid_penalty, num_penalty_rows
+    nD = num_penalty_rows(ndepth, 2)
+    Tau2 = np.ones((ncols, nD))
+    lam2 = 0.5
+    model = ConstrainedNonconjugateBayesianTensorFiltering(
+        nrows, ncols, ndepth, gauss_ll, Constraints,
+        nembeds=nembeds, W_true=W_true, Tau2_true=Tau2, lam2_true=lam2,
+        sigma2_true=1.0, v_block_size=4, gass_ngrid=64, seed=0)
+    res = model.run_gibbs(Y, nburn=500, nthin=4, nsamples=1500, verbose=False)
+    Vs = res["V"]
+
+    # closed-form posterior mean per column
+    Delta = bayes_grid_penalty_dense = bayes_grid_penalty(ndepth, 2)
+    I_T = np.eye(ndepth)
+    X = np.kron(W_true, I_T)  # embed-major design
+    for j in range(ncols):
+        DtLD = Delta.T @ np.diag(1.0 / (lam2 * Tau2[j])) @ Delta
+        Q = X.T @ X / nu2 + np.kron(np.eye(nembeds), DtLD)
+        mu = np.linalg.solve(Q, X.T @ Y[:, j].reshape(-1) / nu2)
+        mu_V = mu.reshape(nembeds, ndepth).T
+        sd = np.sqrt(np.diag(np.linalg.inv(Q))).reshape(nembeds, ndepth).T
+        # generous tolerance: blocked-Gibbs + slice autocorrelation inflates
+        # MC error (the *exactness* of the conditional draws is unit-tested
+        # in test_banded.py::test_conditional_block_draw)
+        err = np.abs(Vs[:, j].mean(0) - mu_V)
+        assert np.all(err < 0.5 * sd + 0.05), (j, err / sd)
+
+
 def test_nonconjugate_ess_exact_posterior(rng):
     """Sharp ESS correctness check: with V fixed at the truth and a Gaussian
     likelihood, the W posterior is exactly the conjugate ridge posterior

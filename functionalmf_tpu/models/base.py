@@ -188,6 +188,8 @@ class BayesianTensorFiltering:
             else:
                 state["V"] = self._init_V_val(ck, state["lam2"], state["Tau2"])
 
+        # numerical-failsafe event counter (see _nan_guard)
+        state["nan_fallbacks"] = self._chain_full((), 0.0)
         self._state = state
 
     # ------------------------------------------------------------------
@@ -360,6 +362,24 @@ class BayesianTensorFiltering:
                                      self.ncols, self.nembeds)
         return dict(state, lam2=lam2.astype(self.dtype), lam2_a=lam2_a.astype(self.dtype))
 
+    @staticmethod
+    def _nan_guard(old_state, new_state, names=("W", "V")):
+        """Last-resort numerical failsafe: if an update produced non-finite
+        values (a Cholesky beyond the jitter ladder in an extreme horseshoe
+        regime), keep the previous draw for that array and count the event
+        in state['nan_fallbacks']. The reference instead raises after a
+        diagnostic dump (factor.py:696-708, fast_mvn.py:70-72); a counted
+        skip is the production-grade equivalent for long unattended runs.
+        """
+        state = dict(new_state)
+        fallbacks = state.get("nan_fallbacks", jnp.zeros((), jnp.float32))
+        for k in names:
+            ok = jnp.all(jnp.isfinite(new_state[k]))
+            state[k] = jnp.where(ok, new_state[k], old_state[k])
+            fallbacks = fallbacks + (1.0 - ok.astype(jnp.float32))
+        state["nan_fallbacks"] = fallbacks
+        return state
+
     def _prior_sweep(self, state, data, key, update_W, update_V):
         """Shared resample dispatch, order per factor.py:112-128."""
         if self.sample_sigma2:
@@ -369,9 +389,11 @@ class BayesianTensorFiltering:
         if self.sample_lam2:
             state = self._update_lam2(state, _fold(key, 13))
         if self.sample_W:
-            state = update_W(state, data, _fold(key, 14))
+            state = self._nan_guard(state, update_W(state, data, _fold(key, 14)),
+                                    names=("W",))
         if self.sample_V:
-            state = update_V(state, data, _fold(key, 15))
+            state = self._nan_guard(state, update_V(state, data, _fold(key, 15)),
+                                    names=("V",))
         return state
 
     # ------------------------------------------------------------------

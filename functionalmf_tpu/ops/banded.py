@@ -96,6 +96,24 @@ def slice_bands(bands, start: int, size: int):
     return sub
 
 
+def block_to_dense(bands, start: int, size: int):
+    """Dense (..., size*k, size*k) principal submatrix for time block
+    [start, start+size). On TPU, small-block conditionals are faster as one
+    batched dense Cholesky than as sequential banded scans (scan-step
+    latency dominates at small T)."""
+    *batch, T, p1, k, _ = bands.shape
+    p = p1 - 1
+    Q = jnp.zeros(tuple(batch) + (size, k, size, k), bands.dtype)
+    for tl in range(size):
+        t = start + tl
+        Q = Q.at[..., tl, :, tl, :].set(bands[..., t, 0, :, :])
+        for d in range(1, min(p, tl) + 1):
+            blk = bands[..., t, d, :, :]
+            Q = Q.at[..., tl, :, tl - d, :].set(blk)
+            Q = Q.at[..., tl - d, :, tl, :].set(jnp.swapaxes(blk, -1, -2))
+    return Q.reshape(tuple(batch) + (size * k, size * k))
+
+
 def bands_to_dense(bands):
     """Dense (..., T*k, T*k) reconstruction (for tests)."""
     *batch, T, p1, k, _ = bands.shape
@@ -111,7 +129,7 @@ def bands_to_dense(bands):
 
 
 def block_banded_cholesky(bands, jitter: float = 0.0,
-                          psd_attempts: int = 2, psd_eps: float = 1e-4):
+                          psd_attempts: int = 3, psd_eps: float = 1e-4):
     """Lower block-banded Cholesky: L with the same band layout.
 
     Sequential scan over block rows; the carry is the sliding window of the

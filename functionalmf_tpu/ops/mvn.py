@@ -50,9 +50,11 @@ def cholesky_psd(Q, eps: float = 1e-6, attempts: int = 4):
     if attempts <= 0:
         return L
     eye = jnp.eye(Q.shape[-1], dtype=Q.dtype)
+    # escalate x100 per attempt (the reference escalates x10, fast_mvn.py:68,
+    # but in float32 a degenerate horseshoe regime needs a wider ladder)
     for a in range(attempts):
         bad = ~jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
-        Lr = jnp.linalg.cholesky(Q + (eps * 10.0**a) * eye)
+        Lr = jnp.linalg.cholesky(Q + (eps * 100.0**a) * eye)
         L = jnp.where(bad, Lr, L)
     return L
 

@@ -55,10 +55,12 @@ def main():
     W0[np.triu_indices(NEMBEDS, k=1)] = 0
     V0 = np.abs(rng.normal(1, 0.2, size=(NCOLS, NDEPTH, NEMBEDS)))
 
+    # Headline: the reference's exact algorithm (joint per-column GASS,
+    # v_block_size=None) — the apples-to-apples sweeps/sec comparison.
     model = ConstrainedNonconjugateBayesianTensorFiltering(
         NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
         nembeds=NEMBEDS, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
-        W_init=W0, V_init=V0, gass_ngrid=100, seed=0)
+        W_init=W0, V_init=V0, gass_ngrid=100, v_block_size=None, seed=0)
 
     # warmup with the same static (nburn, nthin, nsamples) signature so the
     # timed run reuses the compiled executable
@@ -70,14 +72,26 @@ def main():
     dt = time.time() - t0
     sweeps_per_sec = nsweeps / dt
 
-    # secondary metric: min-across-params ESS/sec (BASELINE.md) from a short
-    # post-warmup sampling run
-    ess_per_sec = None
+    # Secondary: the default blocked-V sampler (an exact Gibbs variant this
+    # framework adds; ~20x better per-sweep movement at ~40% the sweep rate)
+    # plus its min-across-params ESS/sec (BASELINE.md's quality-adjusted
+    # speed denominator).
+    blocked_sweeps = ess_per_sec = None
     try:
         from functionalmf_tpu.utils.diagnostics import min_ess_per_param
-        ns = max(50, nsweeps // 2)
+        model_b = ConstrainedNonconjugateBayesianTensorFiltering(
+            NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
+            nembeds=NEMBEDS, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
+            W_init=W0, V_init=V0, gass_ngrid=100, seed=0)
+        model_b.run_gibbs(Y, nburn=nsweeps - 1, nthin=1, nsamples=1,
+                          verbose=False)
         t0 = time.time()
-        res = model.run_gibbs(Y, nburn=0, nthin=1, nsamples=ns, verbose=False)
+        model_b.run_gibbs(Y, nburn=nsweeps - 1, nthin=1, nsamples=1,
+                          verbose=False)
+        blocked_sweeps = nsweeps / (time.time() - t0)
+        ns = max(100, nsweeps)
+        t0 = time.time()
+        res = model_b.run_gibbs(Y, nburn=0, nthin=1, nsamples=ns, verbose=False)
         dt_s = time.time() - t0
         ess = min_ess_per_param(res, keys=("W", "lam2", "sigma2"),
                                 max_params=128)
@@ -98,8 +112,10 @@ def main():
         "unit": "sweeps/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }
+    if blocked_sweeps is not None:
+        out["blocked_sampler_sweeps_per_sec"] = round(blocked_sweeps, 3)
     if ess_per_sec is not None:
-        out["min_ess_per_sec"] = round(ess_per_sec, 3)
+        out["blocked_min_ess_per_sec"] = round(ess_per_sec, 3)
     print(json.dumps(out))
 
 

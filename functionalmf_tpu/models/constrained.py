@@ -272,24 +272,48 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         for bi, s0 in enumerate(range(0, T, bs)):
             e0 = min(s0 + bs, T)
             size = e0 - s0
-            # conditional Gaussian of the block given the rest: dense
-            # (size*k)^2 per block — one fused batched Cholesky beats the
-            # banded scans at small block sizes (TPU scan-step latency)
-            Qbb = block_to_dense(bands, s0, size)  # (m, size*k, size*k)
+            # conditional Gaussian of the block given the rest, as one fused
+            # batched dense Cholesky (banded scans lose to TPU scan-step
+            # latency at these sizes). Without EP the conditional precision
+            # is kron(I_k, DtLD_bb): factor (m, size, size) once and solve
+            # all k embeddings as right-hand sides — O(k) less work and a
+            # k x smaller matrix than the coupled case.
             sub = slice_bands(bands, s0, size)
             qx = block_banded_matvec(bands, X)[:, s0:e0]
             qbb_xb = block_banded_matvec(sub, X[:, s0:e0])
-            rhs = (mu_part[:, s0:e0] - (qx - qbb_xb)).reshape(m, size * k)
-            d = jnp.diagonal(Qbb, axis1=-2, axis2=-1)
-            dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
-            Qe = Qbb * dinv[:, :, None] * dinv[:, None, :]
-            L = cholesky_psd(Qe, eps=self.linalg_opts["force_psd_eps"],
-                             attempts=self.linalg_opts["force_psd_attempts"])
-            mu_b = (_cho_solve(L, rhs * dinv) * dinv).reshape(m, size, k)
-            z = jax.random.normal(_fold(key, 2, bi), (m, size * k), self.dtype)
-            v_b = (jax.lax.linalg.triangular_solve(
-                L, z[..., None], left_side=True, lower=True,
-                transpose_a=True)[..., 0] * dinv).reshape(m, size, k)
+            rhs_tk = mu_part[:, s0:e0] - (qx - qbb_xb)  # (m, size, k)
+            z = jax.random.normal(_fold(key, 2, bi), (m, size, k), self.dtype)
+            if has_ep:
+                Qbb = block_to_dense(bands, s0, size)  # (m, size*k, size*k)
+                rhs = rhs_tk.reshape(m, size * k)
+                d = jnp.diagonal(Qbb, axis1=-2, axis2=-1)
+                dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+                Qe = Qbb * dinv[:, :, None] * dinv[:, None, :]
+                L = cholesky_psd(Qe, eps=self.linalg_opts["force_psd_eps"],
+                                 attempts=self.linalg_opts["force_psd_attempts"])
+                mu_b = (_cho_solve(L, rhs * dinv) * dinv).reshape(m, size, k)
+                v_b = (jax.lax.linalg.triangular_solve(
+                    L, (z.reshape(m, size * k))[..., None], left_side=True,
+                    lower=True, transpose_a=True)[..., 0]
+                    * dinv).reshape(m, size, k)
+            else:
+                # DtLD_bb with out-of-block couplings dropped = sub's scalar
+                # diagonals (the G part is zero)
+                Qbb_t = block_to_dense(
+                    sub[..., :, :, :1, :1], 0, size)  # (m, size, size)
+                d = jnp.diagonal(Qbb_t, axis1=-2, axis2=-1)
+                dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+                Qe = Qbb_t * dinv[:, :, None] * dinv[:, None, :]
+                L = cholesky_psd(Qe, eps=self.linalg_opts["force_psd_eps"],
+                                 attempts=self.linalg_opts["force_psd_attempts"])
+                y = jax.lax.linalg.triangular_solve(
+                    L, rhs_tk * dinv[..., None], left_side=True, lower=True)
+                mu_b = jax.lax.linalg.triangular_solve(
+                    L, y, left_side=True, lower=True,
+                    transpose_a=True) * dinv[..., None]
+                v_b = jax.lax.linalg.triangular_solve(
+                    L, z, left_side=True, lower=True,
+                    transpose_a=True) * dinv[..., None]
 
             # embed the block into full-length t-major vectors: frozen
             # coordinates ride along as part of mu (their x0 and v are 0,

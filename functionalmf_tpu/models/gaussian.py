@@ -32,13 +32,27 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         super().__init__(nrows, ncols, ndepth, **kwargs)
         self.nu2_a = nu2_a
         self.nu2_b = nu2_b
+
+        def nu2_state(value):
+            # scalar (homoskedastic) or (nrows, ncols, ndepth) heteroskedastic
+            # observation variance (factor.py:343-346, 388-391)
+            v = np.asarray(value, dtype=np.float32)
+            if v.ndim == 0:
+                return self._chain_full((), value)
+            assert v.shape == (self.nrows, self.ncols, self.ndepth)
+            return self._chain_broadcast(v, v.shape)
+
         if nu2_true is not None:
-            self._state["nu2"] = self._chain_full((), nu2_true)
+            self._state["nu2"] = nu2_state(nu2_true)
             self.sample_nu2 = False
         else:
             self.sample_nu2 = True
             if nu2_init is not None:
-                self._state["nu2"] = self._chain_full((), nu2_init)
+                assert np.ndim(nu2_init) == 0, (
+                    "heteroskedastic nu2 must be fixed (nu2_true); the "
+                    "sampled nu2 is a single shared variance "
+                    "(factor.py:295, ConjugateInverseGammaPrior(1, ...))")
+                self._state["nu2"] = nu2_state(nu2_init)
             else:
                 # factor.py:418-419: nu2 = 1 / IG-prior draw
                 k = self._next_init_keys()

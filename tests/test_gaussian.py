@@ -120,6 +120,32 @@ def test_end_to_end_recovery(rng):
     assert res["Tau2"].shape[1:] == (ncols, model_nd(ndepth))
 
 
+def test_heteroskedastic_nu2(rng):
+    """Fixed per-cell observation variances (factor.py:343-346, 388-391):
+    high-noise cells should shrink harder toward the prior."""
+    nrows, ncols, ndepth, nembeds = 5, 4, 6, 2
+    W, V, Mu, Y = _make_data(rng, nrows, ncols, ndepth, nembeds, nu2=1.0)
+    nu2 = np.full((nrows, ncols, ndepth), 0.25)
+    nu2[0] = 100.0  # row 0 nearly uninformative
+    model = GaussianBayesianTensorFiltering(
+        nrows, ncols, ndepth, nembeds=nembeds, nu2_true=nu2,
+        sigma2_true=1.0, lam2_true=1.0,
+        Tau2_true=np.ones((ncols, model_nd(ndepth))), seed=0)
+    res = model.run_gibbs(Y, nburn=100, nthin=1, nsamples=300, verbose=False)
+    assert np.isfinite(res["W"]).all()
+    # noisy row's posterior sd close to the prior sd (= 1); informative rows
+    # much tighter
+    sd_noisy = res["W"][:, 0, 0].std()
+    sd_info = res["W"][:, 4, 0].std()
+    assert sd_noisy > 3 * sd_info, (sd_noisy, sd_info)
+    # sampling with an array init is rejected (reference silently replaces
+    # the array with a scalar draw)
+    import pytest
+    with pytest.raises(AssertionError):
+        GaussianBayesianTensorFiltering(nrows, ncols, ndepth, nembeds=2,
+                                        nu2_init=nu2, seed=0)
+
+
 def test_multichain_shapes(rng):
     _, _, _, Y = _make_data(rng, 4, 3, 5, 2)
     model = GaussianBayesianTensorFiltering(4, 3, 5, nembeds=2, nchains=3, seed=1)

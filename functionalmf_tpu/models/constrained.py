@@ -87,6 +87,22 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         else:
             self.Mu_ep = jnp.asarray(np.asarray(ep_approx[0], np.float32), self.dtype)
             self.Sigma_ep = jnp.asarray(np.asarray(ep_approx[1], np.float32), self.dtype)
+            # An overconfident EP traps the chain: the subtracted EP logpdf
+            # grows quadratically with distance from Mu_ep, so once an
+            # excursion leaves the EP bulk, every candidate nearer the
+            # center falls below the slice. The reference's ep_from_mf
+            # deliberately OVERestimates Sigma (utils.py:423-438); warn if
+            # Sigma_ep looks tight relative to the centers' spread.
+            mu_np = np.asarray(ep_approx[0], np.float64)
+            sig_np = np.asarray(ep_approx[1], np.float64)
+            spread = np.nanstd(mu_np)
+            if np.nanmedian(sig_np) < 0.5 * spread:
+                import warnings
+                warnings.warn(
+                    "Sigma_ep is small relative to the spread of Mu_ep "
+                    f"(median {np.nanmedian(sig_np):.3g} vs std {spread:.3g}); "
+                    "overconfident EP approximations can trap the GASS chain "
+                    "— consider ep_from_mf(mode='multiplier', multiplier>=3).")
 
     @property
     def Row_constraints(self):

@@ -71,7 +71,7 @@ def block_banded_matvec(bands, x):
     *batch, T, p1, k, _ = bands.shape
     p = p1 - 1
     y = jnp.einsum("...tij,...tj->...ti", bands[..., :, 0, :, :], x)
-    for d in range(1, p1):
+    for d in range(1, min(p, T - 1) + 1):
         blk = bands[..., d:, d, :, :]          # blocks (t, t-d) for t >= d
         lo = jnp.einsum("...tij,...tj->...ti", blk, x[..., : T - d, :])
         hi = jnp.einsum("...tji,...tj->...ti", blk, x[..., d:, :])

@@ -178,6 +178,40 @@ def test_blocked_v_update_posterior(rng):
         assert np.all(err < 0.5 * sd + 0.05), (j, err / sd)
 
 
+def test_ep_centering_posterior_invariance(rng):
+    """EP centering recenters the GASS proposal but divides itself back out
+    of the likelihood (factor.py:677-683, 754-756): posterior means with and
+    without EP must agree within MC error."""
+    nembeds = 2
+    W_true, V_true = _piecewise_truth(rng, nembeds)
+    Mu = np.einsum("nk,mtk->nmt", W_true, V_true)
+    Y = rng.poisson(Mu).astype(float)
+    Constraints = np.concatenate([np.eye(NDEPTH), np.zeros((NDEPTH, 1))], axis=1)
+    W0 = np.abs(rng.normal(1.0, 0.2, size=(NROWS, nembeds)))
+    W0[np.triu_indices(nembeds, k=1)] = 0
+    V0 = np.abs(rng.normal(1.0, 0.2, size=(NCOLS, NDEPTH, nembeds)))
+    # The EP variance must be OVERestimated (the reference's ep_from_mf
+    # exists to do exactly this, utils.py:423-438): an overconfident EP
+    # traps any EP-centered GASS chain in the correction's tails — the
+    # subtracted EP logpdf grows quadratically and swamps the likelihood.
+    ep = (Mu + rng.normal(0, 0.1, Mu.shape), np.full(Mu.shape, 8.0))
+
+    means = []
+    for ep_approx in (None, ep):
+        model = ConstrainedNonconjugateBayesianTensorFiltering(
+            NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
+            nembeds=nembeds, tf_order=0, sigma2_init=0.5, lam2_init=0.1,
+            W_init=W0, V_init=V0, gass_ngrid=64, ep_approx=ep_approx, seed=3)
+        res = model.run_gibbs(Y, nburn=1200, nthin=2, nsamples=400, verbose=False)
+        means.append(np.einsum("znk,zmtk->znmt", res["W"], res["V"]).mean(0))
+    scale = np.sqrt((Mu ** 2).mean())
+    rel = np.abs(means[0] - means[1]).mean() / scale
+    assert rel < 0.2, rel
+    # both track the truth
+    for mu_hat in means:
+        assert np.sqrt(((mu_hat - Mu) ** 2).mean()) < 0.5 * scale
+
+
 def test_nonconjugate_ess_exact_posterior(rng):
     """Sharp ESS correctness check: with V fixed at the truth and a Gaussian
     likelihood, the W posterior is exactly the conjugate ridge posterior

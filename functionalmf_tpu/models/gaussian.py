@@ -115,7 +115,8 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         embeddings), off-diagonals DtLD[t,t-d] I_k — O(T p^2 k^3) per column
         instead of a dense (kT)^3 factorization (ops/banded.py).
         """
-        from functionalmf_tpu.ops.banded import build_v_bands, sample_mvn_block_banded
+        from functionalmf_tpu.ops.banded import (
+            build_v_bands, sample_mvn_block_banded_retiled)
         from functionalmf_tpu.ops.penalty import penalty_half_bandwidth
         W = state["W"] * self._wmask
         # G[j,t,a,b] = sum_i w8[i,j,t] W[i,a] W[i,b]
@@ -123,8 +124,10 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])   # (m, T, T)
         bands = build_v_bands(DtLD, G, penalty_half_bandwidth(self.tf_order))
         mu_part = jnp.einsum("ijt,ia->jta", wy, W)                # (m, T, k)
-        Vnew = sample_mvn_block_banded(key, bands, mu_part=mu_part,
-                                       equilibrate=True)
+        # super-block retiling: the scan runs T/B dense MXU steps instead of
+        # T tiny ones (TPU scans are latency-bound in step count)
+        Vnew = sample_mvn_block_banded_retiled(key, bands, mu_part=mu_part,
+                                               B=16, equilibrate=True)
         return dict(state, V=Vnew.astype(self.dtype))
 
     def _update_nu2(self, state, pdata, key):

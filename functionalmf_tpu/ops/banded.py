@@ -263,6 +263,76 @@ def block_banded_solve(L, b):
     return block_banded_solve_upper(L, block_banded_solve_lower(L, b))
 
 
+def retile_bands(bands, B: int):
+    """Re-tile a block-banded system into super-blocks of B time steps.
+
+    Returns (bands2, T2): a block-TRIDIAGONAL system (half-bandwidth 1) with
+    (B*k x B*k) dense blocks, zero-padded to T2 = ceil(T/B) super-rows
+    (padding gets identity diagonals). On TPU the factor/solve scans are
+    latency-bound in the number of sequential steps, so trading T tiny steps
+    for T/B dense MXU-sized steps is a large win at equal FLOP order.
+    Requires B >= bandwidth p.
+    """
+    *batch, T, p1, k, _ = bands.shape
+    p = p1 - 1
+    assert B >= p, (B, p)
+    T2 = -(-T // B)
+    Tp = T2 * B
+    eye = jnp.eye(k, dtype=bands.dtype)
+    pad_spec = [(0, 0)] * (bands.ndim - 4) + [(0, Tp - T), (0, 0), (0, 0), (0, 0)]
+    bpad = jnp.pad(bands, pad_spec)
+    if Tp > T:
+        # identity diagonal blocks on the padded tail keep the factor finite
+        tail_mask = (jnp.arange(Tp) >= T).astype(bands.dtype)
+        bpad = bpad.at[..., :, 0, :, :].add(
+            tail_mask[:, None, None] * eye)
+    br = bpad.reshape(tuple(batch) + (T2, B, p1, k, k))
+
+    D = jnp.zeros(tuple(batch) + (T2, B, k, B, k), bands.dtype)
+    E = jnp.zeros(tuple(batch) + (T2, B, k, B, k), bands.dtype)
+    for d in range(p + 1):
+        for i in range(B):
+            j = i - d
+            if j >= 0:
+                blk = br[..., :, i, d, :, :]
+                D = D.at[..., :, i, :, j, :].set(blk)
+                if d > 0:
+                    D = D.at[..., :, j, :, i, :].set(jnp.swapaxes(blk, -1, -2))
+            else:
+                # couples into the previous super-block at local column B + j
+                blk = br[..., :, i, d, :, :]
+                E = E.at[..., 1:, i, :, B + j, :].set(blk[..., 1:, :, :])
+    Bk = B * k
+    D = D.reshape(tuple(batch) + (T2, Bk, Bk))
+    E = E.reshape(tuple(batch) + (T2, Bk, Bk))
+    return jnp.stack([D, E], axis=-3), T2
+
+
+def sample_mvn_block_banded_retiled(key, bands, mu_part=None, B: int = 32,
+                                    equilibrate: bool = True):
+    """theta ~ N(Q^-1 mu_part, Q^-1) via the super-block retiling.
+
+    bands: (..., T, p+1, k, k); returns (..., T, k). Exact — the retiled
+    system is the same matrix.
+    """
+    *batch, T, p1, k, _ = bands.shape
+    if equilibrate:
+        bands, s = equilibrate_bands(bands)
+        mp = None if mu_part is None else mu_part * s
+        x = sample_mvn_block_banded_retiled(key, bands, mu_part=mp, B=B,
+                                            equilibrate=False)
+        return x * s
+    B = min(max(B, p1 - 1), max(T, 1))
+    bands2, T2 = retile_bands(bands, B)
+    mp2 = None
+    if mu_part is not None:
+        pad = [(0, 0)] * (mu_part.ndim - 2) + [(0, T2 * B - T), (0, 0)]
+        mp2 = jnp.pad(mu_part, pad).reshape(tuple(batch) + (T2, B * k))
+    x = sample_mvn_block_banded(key, bands2, mu_part=mp2)
+    x = x.reshape(tuple(batch) + (T2 * B, k))[..., :T, :]
+    return x
+
+
 def equilibrate_bands(bands):
     """Block-Jacobi equilibration: Q' = D Q D, D = diag(Q)^(-1/2).
 

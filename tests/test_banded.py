@@ -121,6 +121,25 @@ def test_conditional_block_draw(rng, key):
                                atol=8 * np.abs(cov_ref).max() / np.sqrt(20000))
 
 
+def test_retiled_sampler_matches_dense(rng, key):
+    """Super-block retiling is the same matrix: solve/sampling moments must
+    match the dense reference, including non-divisible T (padding)."""
+    import jax
+    from functionalmf_tpu.ops.banded import sample_mvn_block_banded_retiled
+    for T, B in [(12, 4), (13, 5), (7, 16)]:
+        DtLD, G, p = _make_system(rng, T=T, k=2, m=1)
+        bands = build_v_bands(DtLD, G, p)
+        Q = np.asarray(bands_to_dense(bands), np.float64)[0]
+        mu_part = jnp.asarray(rng.normal(size=(1, T, 2)), jnp.float32)
+        draws = jax.vmap(lambda kk: sample_mvn_block_banded_retiled(
+            kk, bands, mu_part=mu_part, B=B))(jax.random.split(key, 3000))
+        X = np.asarray(draws)[:, 0].reshape(3000, -1)
+        mean_ref = np.linalg.solve(Q, np.asarray(mu_part).reshape(-1))
+        sd = np.sqrt(np.diag(np.linalg.inv(Q)))
+        assert np.all(np.abs(X.mean(0) - mean_ref) < 7 * sd / np.sqrt(3000) + 2e-3), (T, B)
+        np.testing.assert_allclose(X.std(0), sd, rtol=0.15, atol=1e-3)
+
+
 def test_prior_only_bands(rng):
     # G=None builds the kron(I_1, DtLD) scalar-block system
     DtLD, _, p = _make_system(rng, T=9, k=1, m=3)

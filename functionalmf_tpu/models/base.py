@@ -29,14 +29,12 @@ nsamples, callback)`` returning a dict of posterior draws keyed
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from functionalmf_tpu.ops.penalty import bayes_grid_penalty
-from functionalmf_tpu.ops.mvn import sample_mvn_from_precision
 from functionalmf_tpu.samplers.horseshoe import (
     sample_horseshoe,
     sample_horseshoe_plus,

@@ -18,8 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from functionalmf_tpu.models.base import BayesianTensorFiltering, _fold
-from functionalmf_tpu.ops.mvn import sample_mvn_from_precision
+from functionalmf_tpu.models.base import BayesianTensorFiltering
 from functionalmf_tpu.samplers.ess import elliptical_slice
 
 __all__ = ["NonconjugateBayesianTensorFiltering"]

@@ -92,7 +92,29 @@ METRICS = [
 ]
 
 
+def agg_results(models, metrics, nembeds_options=(2, 3, 5, 10),
+                seeds=(1, 2, 3, 4, 5)):
+    # multi-seed aggregation mode (reference poisson example:123-143)
+    aggregate = {ne: [] for ne in nembeds_options}
+    for seed in seeds:
+        for ne in nembeds_options:
+            outdir = os.path.join("data/poisson_tensor_filtering/",
+                                  "seed{}-nembeds{}".format(seed, ne))
+            aggregate[ne].append(np.load(os.path.join(outdir, "results.npy")))
+    for ne in nembeds_options:
+        print("d={}".format(ne))
+        res = np.array(aggregate[ne]).mean(axis=0)
+        print(("{:<18}" * (len(metrics) + 1)).format(
+            *(["Model"] + [m["name"] for m in metrics])))
+        for i, m in enumerate(models):
+            print("{:<18}".format(m)
+                  + "".join("{:<18.2f}".format(r) for r in res[:, i]))
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "agg":
+        agg_results(["NMF", "NB-BTF", "Poisson-BTF"], METRICS)
+        sys.exit(0)
     nembeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     nburn, nthin, nsamples = 5000, 5, 1000
@@ -134,8 +156,16 @@ if __name__ == "__main__":
     models.append({"name": "Poisson-BTF", "fit": Mu_hat.mean(0), "samples": Mu_hat})
 
     nmetrics = len(METRICS)
+    metric_results = np.zeros((nmetrics, len(models)))
     print(("{:<18}" * (nmetrics + 1)).format(*(["Model"] + [m["name"] for m in METRICS])))
-    for m in models:
-        row = "".join("{:<18.2f}".format(
-            metric["fun"](Y, Mu, m["fit"], m["samples"])) for metric in METRICS)
-        print("{:<18}".format(m["name"]) + row)
+    for mi, m in enumerate(models):
+        vals = [metric["fun"](Y, Mu, m["fit"], m["samples"]) for metric in METRICS]
+        metric_results[:, mi] = vals
+        print("{:<18}".format(m["name"])
+              + "".join("{:<18.2f}".format(v) for v in vals))
+
+    # persist for the multi-seed `agg` mode (reference poisson:285-293)
+    outdir = os.path.join("data/poisson_tensor_filtering/",
+                          "seed{}-nembeds{}".format(seed, nembeds))
+    os.makedirs(outdir, exist_ok=True)
+    np.save(os.path.join(outdir, "results"), metric_results)

@@ -56,9 +56,13 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                  multiprocessing=None,  # parity kwarg (unused)
                  sharedprefix=None,     # parity kwarg (unused)
                  worker_init=None,      # parity kwarg (unused)
-                 v_block_size=32,       # time-block size for the V GASS
+                 v_block_size=8,        # time-block size for the V GASS
                                         # updates; None/>=ndepth = the
-                                        # reference's joint update
+                                        # reference's joint update. 8 gives
+                                        # ~nominal posterior coverage on the
+                                        # flagship example where the joint
+                                        # update reaches only ~78% at the
+                                        # 90% level (RESULTS.md)
                  **kwargs):
         super().__init__(nrows, ncols, ndepth, **kwargs)
         self.loglikelihood = loglikelihood

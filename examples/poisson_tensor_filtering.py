@@ -40,6 +40,20 @@ def rowcol_loglikelihood(Y, WV, W, V, row=None, col=None):
     return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
 
 
+def rowcol_loglikelihood_block(Y, WV, W, V, row=None, col=None, tslice=None):
+    # depth-decomposable fast path for the blocked V updates: the Poisson
+    # likelihood factorizes over cells, so the block's cells alone drive the
+    # slice test (out-of-block terms are constant within a block update)
+    s0, e0 = tslice
+    Yb = Y[:, col, s0:e0]
+    if Yb.ndim > WV.ndim:
+        WV = WV[..., None]
+    rate = jnp.clip(WV, 1e-8, None)
+    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
+    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+
+
 def init_model(nembeds, tf_order=0, lam2=0.1, sigma2=0.5, monotone=False,
                seed=0, **kwargs):
     # poisson example:38-56 (no shared-memory cleanup needed here)
@@ -52,7 +66,8 @@ def init_model(nembeds, tf_order=0, lam2=0.1, sigma2=0.5, monotone=False,
     return ConstrainedNonconjugateBayesianTensorFiltering(
         nrows, ncols, ndepth, rowcol_loglikelihood, Constraints,
         nembeds=nembeds, tf_order=tf_order, sigma2_init=sigma2,
-        lam2_init=lam2, seed=seed, **kwargs)
+        lam2_init=lam2, seed=seed,
+        loglikelihood_block=rowcol_loglikelihood_block, **kwargs)
 
 
 def setup_sampler(model, Y, monotone=False, rng=None):

@@ -37,6 +37,19 @@ def rowcol_loglikelihood(Y, WV, W, V, row=None, col=None):
     return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
 
 
+def rowcol_loglikelihood_block(Y, WV, W, V, row=None, col=None, tslice=None):
+    # depth-decomposable fast path (Poisson factorizes over cells): only the
+    # block's cells drive the blocked-V slice test
+    s0, e0 = tslice
+    Yb = Y[:, col, s0:e0]
+    if Yb.ndim > WV.ndim:
+        WV = WV[..., None]
+    rate = jnp.clip(WV, 1e-8, None)
+    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
+    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+
+
 def ep_from_nmf(Y, W, V):
     # politics/benchmark.py:47-56: relative-error variance estimate
     if Y.ndim == 3:
@@ -114,7 +127,8 @@ def main(argv=None):
     model = ConstrainedNonconjugateBayesianTensorFiltering(
         nrows, ncols, ndepth, rowcol_loglikelihood, C_zero,
         nembeds=nembeds, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
-        ep_approx=ep, W_init=W0, V_init=V0, seed=args.seed)
+        ep_approx=ep, W_init=W0, V_init=V0, seed=args.seed,
+        loglikelihood_block=rowcol_loglikelihood_block)
 
     print("Running Gibbs sampler")
     results = model.run_gibbs(Y_train, nburn=args.nburn, nthin=args.nthin,

@@ -63,9 +63,24 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                                         # flagship example where the joint
                                         # update reaches only ~78% at the
                                         # 90% level (RESULTS.md)
+                 loglikelihood_block=None,  # optional fast path for the
+                                        # blocked V updates: ONLY valid when
+                                        # the likelihood factorizes over the
+                                        # depth axis (e.g. cell-wise Poisson).
+                                        # Signature: (data, WV_blk, W, V_blk,
+                                        # row=None, col=j, tslice=(s0, e0))
+                                        # -> scalar log-lik of the block's
+                                        # cells alone; WV_blk is (nrows,
+                                        # e0-s0), V_blk (e0-s0, nembeds),
+                                        # s0/e0 static Python ints. The
+                                        # out-of-block terms are constant
+                                        # within a block update, so the
+                                        # slice test is exact while the
+                                        # evaluated volume shrinks T/bs-fold.
                  **kwargs):
         super().__init__(nrows, ncols, ndepth, **kwargs)
         self.loglikelihood = loglikelihood
+        self.loglikelihood_block = loglikelihood_block
         self.gass_ngrid = int(gass_ngrid)
         self.v_block_size = (None if v_block_size is None
                              else int(v_block_size))
@@ -139,8 +154,14 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
 
         # Constraints from the opposite embedding (factor.py:711-719):
         # A_w[(j', col), a] = sum_t CA[j', t] V[col, t, a], shared across rows
-        # up to the per-row dim mask.
-        A_base = jnp.einsum("jt,mta->mja", CA, V).reshape(m * self.nconstraints, k)
+        # up to the per-row dim mask. HIGHEST precision is required: the
+        # default matmul pass rounds V to bfloat16 inside the contraction,
+        # so feasibility would be enforced against a ~0.3%-off constraint
+        # matrix and accepted W draws could violate the true constraints by
+        # up to ~1e-3 (caught by an end-to-end feasibility audit).
+        _hp = jax.lax.Precision.HIGHEST
+        A_base = jnp.einsum("jt,mta->mja", CA, V,
+                            precision=_hp).reshape(m * self.nconstraints, k)
         c_base = jnp.tile(CC, m)
         if self._has_row_constraints:
             RC = state["Row_constraints"]
@@ -156,9 +177,12 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
             Sinv2 = 1.0 / (self.Sigma_ep ** 2)
             Sinv2 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, Sinv2)
             Mu0 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, self.Mu_ep)
-            Q = (jnp.einsum("imt,mta,mtb->iab", Sinv2, V, V)
+            # HIGHEST: the proposal Gaussian must match the EP factor that
+            # the acceptance divides out analytically (_ep_logpdf)
+            Q = (jnp.einsum("imt,mta,mtb->iab", Sinv2, V, V, precision=_hp)
                  * mask[:, :, None] * mask[:, None, :] + eye / sigma2)
-            mu_part = jnp.einsum("imt,mta->ia", Mu0 * Sinv2, V) * mask
+            mu_part = jnp.einsum("imt,mta->ia", Mu0 * Sinv2, V,
+                                 precision=_hp) * mask
             L = cholesky_psd(Q, **{"eps": self.linalg_opts["force_psd_eps"],
                                    "attempts": self.linalg_opts["force_psd_attempts"]})
             mu_all = jax.vmap(lambda Lq, b: jax.scipy.linalg.cho_solve((Lq, True), b))(
@@ -214,97 +238,77 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         run GASS sequentially on time blocks of size `v_block_size`
         conditional on the rest — still an exact Gibbs kernel (the
         conditional Gaussian prior of a block under the block-banded
-        precision is computed with the banded kernel), with far larger
-        feasible arcs and lower dimension per update. v_block_size >= T
-        reproduces the reference's joint update exactly.
+        precision has a closed form), with far larger feasible arcs and
+        lower dimension per update. v_block_size >= T reproduces the
+        reference's joint update exactly.
 
-        Everything is t-major: x = V_j reshaped (T*k,), constraints
-        A[(i, jc), (t, a)] = CA[jc, t] W[i, a].
+        TPU design notes:
+          * GASS runs in *block coordinates* (D = size*k, t-major): frozen
+            out-of-block coordinates contribute a constant to every
+            constraint row, folded into the offsets c' = c - A_out x_out.
+          * The constraint matrix A[(i,jc),(t,a)] = CA[jc,t] W[i,a] is never
+            materialized: gass() receives the factorized operator
+            y -> (W (CA_blk y)^T), two small matmuls instead of hundreds of
+            MB of HBM traffic per sweep.
+          * The conditional precision of a block is a direct slice
+            DtLD[s0:e0, s0:e0] (+ the EP Gram on its t-diagonal) — the prior
+            couples blocks only through DtLD, the EP Gram is t-diagonal.
         """
-        from functionalmf_tpu.ops.banded import (
-            build_v_bands, block_banded_matvec, block_to_dense, slice_bands)
         from functionalmf_tpu.ops.mvn import _cho_solve, cholesky_psd
-        from functionalmf_tpu.ops.penalty import penalty_half_bandwidth
 
         n, m, T, k = self.nrows, self.ncols, self.ndepth, self.nembeds
         W = state["W"] * self._wmask
         CA, CC = self.Constraints_A, self.Constraints_C
 
-        # t-major constraint matrix (equivalent to factor.py:847-854 up to
-        # the packing order). For a time-block update only constraints whose
-        # support intersects the block can change (frozen coordinates keep
-        # all others satisfied), so each block restricts to its statically
-        # relevant constraint rows.
-        def block_constraints(s0, e0):
-            rel = np.nonzero(
-                np.abs(self._CA_np[:, s0:e0]).sum(axis=1) > 0)[0]
-            if len(rel) == 0:
-                # one trivially satisfied row keeps static shapes non-empty
-                return (jnp.zeros((1, T * k), self.dtype),
-                        jnp.full((1,), -1.0, self.dtype))
-            CA_rel = CA[jnp.asarray(rel)]
-            A_blk = (CA_rel[None, :, :, None] * W[:, None, None, :]).reshape(
-                n * len(rel), T * k)
-            c_blk = jnp.tile(CC[jnp.asarray(rel)], n)
-            return A_blk, c_blk
-
-        # block-banded proposal precision: trend-filtering prior (+ EP GLS)
-        DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])
-        p = penalty_half_bandwidth(self.tf_order)
+        DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])  # (m, T, T)
+        _hp0 = jax.lax.Precision.HIGHEST
         if self.Mu_ep is not None:
+            # HIGHEST: the proposal Gaussian must match the EP factor that
+            # the acceptance divides out analytically (_ep_logpdf)
             Sinv2 = 1.0 / (self.Sigma_ep ** 2)
             Sinv2 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, Sinv2)
             Mu0 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, self.Mu_ep)
-            G = jnp.einsum("ijt,ia,ib->jtab", Sinv2, W, W)
-            mu_part = jnp.einsum("ijt,ia->jta", Mu0 * Sinv2, W)  # (m, T, k)
+            G = jnp.einsum("ijt,ia,ib->jtab", Sinv2, W, W,
+                           precision=_hp0)                       # (m, T, k, k)
+            mu_part = jnp.einsum("ijt,ia->jta", Mu0 * Sinv2, W,
+                                 precision=_hp0)                 # (m, T, k)
         else:
-            G = jnp.zeros((m, T, k, k), self.dtype)
+            G = None
             mu_part = jnp.zeros((m, T, k), self.dtype)
-        bands = build_v_bands(DtLD, G, p)
 
         data_c = data
         user_ll = self.loglikelihood
+        user_ll_blk = self.loglikelihood_block
         has_ep = self.Mu_ep is not None
         Mu_ep, Sigma_ep = self.Mu_ep, self.Sigma_ep
-
-        def make_col_gass(A_blk, c_blk):
-            def col_gass(j, x_j, mu_j, v_j, k_j):
-                def loglik(cands):  # (G, T*k) -> (G,)
-                    Vg = cands.reshape(-1, T, k)
-                    tau = jnp.einsum("gtk,nk->gnt", Vg, W)
-
-                    def one(tau_g, V_g):
-                        ll = user_ll(data_c, tau_g, W, V_g, row=None, col=j)
-                        if has_ep:
-                            ll = ll - _ep_logpdf(tau_g, Mu_ep[:, j],
-                                                 Sigma_ep[:, j])
-                        return ll
-
-                    return jax.vmap(one)(tau, Vg)
-
-                x_new, _ = gass(k_j, x_j, None, loglik, A_blk, c_blk,
-                                mu=mu_j, ngrid=self.gass_ngrid, v=v_j)
-                return x_new
-            return col_gass
 
         bs = self.v_block_size or T
         X = state["V"]  # (m, T, k)
         for bi, s0 in enumerate(range(0, T, bs)):
             e0 = min(s0 + bs, T)
             size = e0 - s0
-            # conditional Gaussian of the block given the rest, as one fused
-            # batched dense Cholesky (banded scans lose to TPU scan-step
-            # latency at these sizes). Without EP the conditional precision
-            # is kron(I_k, DtLD_bb): factor (m, size, size) once and solve
-            # all k embeddings as right-hand sides — O(k) less work and a
-            # k x smaller matrix than the coupled case.
-            sub = slice_bands(bands, s0, size)
-            qx = block_banded_matvec(bands, X)[:, s0:e0]
-            qbb_xb = block_banded_matvec(sub, X[:, s0:e0])
-            rhs_tk = mu_part[:, s0:e0] - (qx - qbb_xb)  # (m, size, k)
+
+            # ---- conditional Gaussian of the block given the rest ----
+            # (HIGHEST precision: the horseshoe gives DtLD a 1e-6..1e6
+            # dynamic range, and the ellipse center must be the exact
+            # conditional mean for the slice sampler to target the right
+            # distribution — a reduced-precision MXU pass biases it)
+            _hp = jax.lax.Precision.HIGHEST
+            DtLD_blk = DtLD[:, s0:e0, s0:e0]                     # (m, size, size)
+            X_out = X.at[:, s0:e0].set(0.0)
+            cross = jnp.einsum("mts,msk->mtk", DtLD[:, s0:e0, :], X_out,
+                               precision=_hp)
+            rhs_tk = mu_part[:, s0:e0] - cross                   # (m, size, k)
             z = jax.random.normal(_fold(key, 2, bi), (m, size, k), self.dtype)
             if has_ep:
-                Qbb = block_to_dense(bands, s0, size)  # (m, size*k, size*k)
+                # coupled (size*k) system: kron-embed DtLD_blk, add the EP
+                # Gram on the t-diagonal (t-major packing)
+                Qd = jnp.einsum("mts,ab->mtasb", DtLD_blk,
+                                jnp.eye(k, dtype=self.dtype), precision=_hp)
+                Qd = Qd + jnp.einsum("mtab,ts->mtasb", G[:, s0:e0],
+                                     jnp.eye(size, dtype=self.dtype),
+                                     precision=_hp)
+                Qbb = Qd.reshape(m, size * k, size * k)
                 rhs = rhs_tk.reshape(m, size * k)
                 d = jnp.diagonal(Qbb, axis1=-2, axis2=-1)
                 dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
@@ -317,13 +321,11 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                     lower=True, transpose_a=True)[..., 0]
                     * dinv).reshape(m, size, k)
             else:
-                # DtLD_bb with out-of-block couplings dropped = sub's scalar
-                # diagonals (the G part is zero)
-                Qbb_t = block_to_dense(
-                    sub[..., :, :, :1, :1], 0, size)  # (m, size, size)
-                d = jnp.diagonal(Qbb_t, axis1=-2, axis2=-1)
+                # without EP the conditional precision is kron(I_k, DtLD_blk):
+                # factor (m, size, size) once, solve all k embeddings as RHS
+                d = jnp.diagonal(DtLD_blk, axis1=-2, axis2=-1)
                 dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
-                Qe = Qbb_t * dinv[:, :, None] * dinv[:, None, :]
+                Qe = DtLD_blk * dinv[:, :, None] * dinv[:, None, :]
                 L = cholesky_psd(Qe, eps=self.linalg_opts["force_psd_eps"],
                                  attempts=self.linalg_opts["force_psd_attempts"])
                 y = jax.lax.linalg.triangular_solve(
@@ -335,21 +337,87 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                     L, z, left_side=True, lower=True,
                     transpose_a=True) * dinv[..., None]
 
-            # embed the block into full-length t-major vectors: frozen
-            # coordinates ride along as part of mu (their x0 and v are 0,
-            # so the ellipse leaves them exactly at x)
-            tmask = jnp.zeros((T, 1), self.dtype).at[s0:e0].set(1.0)
-            v_full = (jnp.zeros((m, T, k), self.dtype)
-                      .at[:, s0:e0].set(v_b)).reshape(m, T * k)
-            mu_full = (X * (1.0 - tmask)
-                       + jnp.zeros((m, T, k), self.dtype)
-                       .at[:, s0:e0].set(mu_b)).reshape(m, T * k)
+            # ---- constraints restricted to the block (factor.py:847-854,
+            # in block coordinates). Only rows whose support intersects the
+            # block can change; frozen coordinates fold into the offsets.
+            rel = np.nonzero(np.abs(self._CA_np[:, s0:e0]).sum(axis=1) > 0)[0]
+            if len(rel) == 0:
+                # one trivially satisfied row keeps static shapes non-empty
+                A_op = lambda y: jnp.zeros((1,), self.dtype)  # noqa: E731
+                c_cols = jnp.full((m, 1), -1.0, self.dtype)
+            else:
+                rel_j = jnp.asarray(rel)
+                CA_blk = CA[rel_j][:, s0:e0]                # (J_rel, size)
+                CA_out = CA[rel_j].at[:, s0:e0].set(0.0)    # (J_rel, T)
+
+                def A_op(y):  # (size*k,) -> (n*J_rel,)
+                    M = jnp.dot(CA_blk, y.reshape(size, k), precision=_hp)
+                    return jnp.dot(W, M.T, precision=_hp).reshape(-1)
+
+                # frozen contribution per column: tau_out = W X_j_out^T
+                tau_out = jnp.einsum("mtk,nk->mnt", X_out, W,
+                                     precision=_hp)        # (m, n, T)
+                frozen = jnp.einsum("mnt,jt->mnj", tau_out, CA_out,
+                                    precision=_hp)
+                c_cols = (CC[rel_j][None, None, :] - frozen).reshape(
+                    m, n * len(rel))
+
+            def make_col_gass(A_op, s0, e0, size):
+                def col_gass(j, xb_j, mu_j, v_j, c_j, x_full_j, k_j):
+                    def loglik(cands):  # (G, size*k) -> (G,)
+                        Vg_blk = cands.reshape(-1, size, k)
+                        if user_ll_blk is not None:
+                            tau = jnp.einsum("gtk,nk->gnt", Vg_blk, W)
+
+                            def one(tau_g, Vb_g):
+                                ll = user_ll_blk(data_c, tau_g, W, Vb_g,
+                                                 row=None, col=j,
+                                                 tslice=(s0, e0))
+                                if has_ep:
+                                    ll = ll - _ep_logpdf(
+                                        tau_g, Mu_ep[:, j, s0:e0],
+                                        Sigma_ep[:, j, s0:e0])
+                                return ll
+
+                            return jax.vmap(one)(tau, Vg_blk)
+                        # full-V candidates by static concatenation (a
+                        # vmapped scatter into a broadcast lowers poorly)
+                        Gn = Vg_blk.shape[0]
+                        parts = []
+                        if s0 > 0:
+                            parts.append(jnp.broadcast_to(
+                                x_full_j[:s0], (Gn, s0, k)))
+                        parts.append(Vg_blk)
+                        if e0 < T:
+                            parts.append(jnp.broadcast_to(
+                                x_full_j[e0:], (Gn, T - e0, k)))
+                        Vg = parts[0] if len(parts) == 1 else jnp.concatenate(
+                            parts, axis=1)
+                        tau = jnp.einsum("gtk,nk->gnt", Vg, W)
+
+                        def one(tau_g, V_g):
+                            ll = user_ll(data_c, tau_g, W, V_g,
+                                         row=None, col=j)
+                            if has_ep:
+                                ll = ll - _ep_logpdf(tau_g, Mu_ep[:, j],
+                                                     Sigma_ep[:, j])
+                            return ll
+
+                        return jax.vmap(one)(tau, Vg)
+
+                    xb_new, _ = gass(k_j, xb_j, None, loglik, A_op, c_j,
+                                     mu=mu_j, ngrid=self.gass_ngrid, v=v_j)
+                    return xb_new
+                return col_gass
 
             keys = jax.vmap(lambda j: _fold(key, 3, bi, j))(
                 jnp.arange(m, dtype=jnp.uint32))
-            col_gass = make_col_gass(*block_constraints(s0, e0))
-            X = jax.vmap(col_gass)(jnp.arange(m), X.reshape(m, T * k),
-                                   mu_full, v_full, keys).reshape(m, T, k)
+            col_gass = make_col_gass(A_op, s0, e0, size)
+            Xb = jax.vmap(col_gass)(
+                jnp.arange(m), X[:, s0:e0].reshape(m, size * k),
+                mu_b.reshape(m, size * k), v_b.reshape(m, size * k),
+                c_cols, X, keys)
+            X = X.at[:, s0:e0].set(Xb.reshape(m, size, k))
         return dict(state, V=X.astype(self.dtype))
 
     # ------------------------------------------------------------------

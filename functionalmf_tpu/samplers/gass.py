@@ -37,6 +37,11 @@ def gass(key, x, sample_v, loglik, A, c, *, mu=None, cur_ll=None,
         requires batching support too).
       A, c: (J, D), (J,) linear inequality constraints A x >= c
         (the reference packs them as one (J, D+1) matrix, gass.py:32).
+        `A` may instead be a *callable* y (D,) -> A@y (J,) — a factorized
+        linear operator. The BTF V updates use this to exploit the
+        Kronecker structure A[(i,j),(t,a)] = CA[j,t] W[i,a]: the operator
+        costs two small matmuls where the materialized matrix would be
+        hundreds of MB of HBM traffic per Gibbs sweep.
       mu: optional (D,) Gaussian mean; the ellipse is traced around mu.
       dim_mask: optional (D,) 0/1 mask — masked dims are frozen at x's
         value (used for the lower-triangular W rows, factor.py:671).
@@ -62,10 +67,15 @@ def gass(key, x, sample_v, loglik, A, c, *, mu=None, cur_ll=None,
     # default matmul precision is reduced (bf16 passes on the MXU), which is
     # fine for the likelihood but breaks exact feasibility at arc boundaries.
     _hp = jax.lax.Precision.HIGHEST
+    if callable(A):
+        Af = A
+    else:
+        A_mat = jnp.asarray(A)
+        Af = lambda y: jnp.dot(A_mat, y, precision=_hp)  # noqa: E731
     x0 = x - mu
-    a = jnp.dot(A, x0, precision=_hp)
-    b = jnp.dot(A, v, precision=_hp)
-    cc = c - jnp.dot(A, mu, precision=_hp)
+    a = Af(x0)
+    b = Af(v)
+    cc = c - Af(mu)
 
     # Analytic arc intersection per constraint (gass.py:43-78):
     # a cos(t) + b sin(t) >= cc  <=>  t in/out of [theta1, theta2]
@@ -99,24 +109,22 @@ def gass(key, x, sample_v, loglik, A, c, *, mu=None, cur_ll=None,
                          jnp.min(jnp.where(interval, tmax, pi)) - eps, pi)
 
     grid = theta_lo + (theta_hi - theta_lo) * jnp.linspace(0.0, 1.0, ngrid)
+    cosg, sing = jnp.cos(grid), jnp.sin(grid)
 
-    # points inside any complement's excluded arc are invalid (gass.py:68-71)
-    inside_comp = ((grid[:, None] > tmin[None, :]) &
-                   (grid[:, None] < tmax[None, :]) &
-                   complement[None, :])
-    valid = (~jnp.any(inside_comp, axis=1)) & (theta_hi >= theta_lo)
-
-    pts = (x0[None, :] * jnp.cos(grid)[:, None]
-           + v[None, :] * jnp.sin(grid)[:, None] + mu[None, :])
+    pts = (x0[None, :] * cosg[:, None] + v[None, :] * sing[:, None]
+           + mu[None, :])
     if dim_mask is not None:
         pts = pts * dim_mask[None, :]
 
-    # Direct feasibility check of every candidate (one (G, D) x (D, J)
-    # matmul). The analytic arcs concentrate the grid in the valid region;
+    # Direct feasibility check of every candidate through the constraint
+    # operator. The analytic arcs concentrate the grid in the valid region;
     # this mask *guarantees* A x_new >= c even at float32 arc boundaries,
-    # where the reference's theta-space eps (gass.py:76-77) under-protects.
-    feas = jnp.all(jnp.dot(pts, A.T, precision=_hp) >= c[None, :], axis=1)
-    valid = valid & feas
+    # where the reference's theta-space eps (gass.py:76-77) under-protects
+    # — and it subsumes the complement-arc exclusion (gass.py:68-71). With
+    # a factorized operator the batched check costs two small matmuls per
+    # candidate instead of reading a materialized (J, D) matrix.
+    feas = jnp.all(jax.vmap(Af)(pts) >= c[None, :], axis=1)
+    valid = feas & (theta_hi >= theta_lo)
 
     ll = loglik(pts)
     ok = valid & (ll >= h) & jnp.isfinite(ll)

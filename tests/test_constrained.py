@@ -251,3 +251,87 @@ def test_nonconjugate_ess_exact_posterior(rng):
         assert np.all(np.abs(Ws[:, i, :nd].mean(0) - mu_post) < tol), \
             (i, Ws[:, i, :nd].mean(0), mu_post, tol)
         assert np.all(Ws[:, i, nd:] == 0)
+
+
+def test_block_loglikelihood_equivalence(rng):
+    """The depth-decomposable `loglikelihood_block` fast path must target the
+    same posterior as the full likelihood: out-of-block terms are constant
+    within a block update, so the slice test is unchanged."""
+    nembeds = 2
+    W_true, V_true = _piecewise_truth(rng, nembeds)
+    Mu = np.einsum("nk,mtk->nmt", W_true, V_true)
+    Y = rng.poisson(Mu).astype(float)
+    Constraints = np.concatenate([np.eye(NDEPTH), np.zeros((NDEPTH, 1))], axis=1)
+    W0 = np.abs(rng.normal(1.0, 0.2, size=(NROWS, nembeds)))
+    W0[np.triu_indices(nembeds, k=1)] = 0
+    V0 = np.abs(rng.normal(1.0, 0.2, size=(NCOLS, NDEPTH, nembeds)))
+
+    def poisson_ll_block(Yd, WV, W, V, row=None, col=None, tslice=None):
+        from jax.scipy.special import gammaln
+        s0, e0 = tslice
+        Yb = Yd[:, col, s0:e0]
+        rate = jnp.clip(WV, 1e-8, None)
+        Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
+        ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+        return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+
+    means = []
+    for blk_ll in (None, poisson_ll_block):
+        model = ConstrainedNonconjugateBayesianTensorFiltering(
+            NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
+            nembeds=nembeds, tf_order=0, sigma2_init=0.5, lam2_init=0.1,
+            W_init=W0, V_init=V0, gass_ngrid=50, v_block_size=3,
+            loglikelihood_block=blk_ll, seed=11)
+        res = model.run_gibbs(Y, nburn=800, nthin=1, nsamples=800,
+                              verbose=False)
+        mu_hat = np.einsum("znk,zmtk->znmt", res["W"], res["V"])
+        assert mu_hat.min() >= -1e-5  # feasibility of every draw
+        means.append(mu_hat.mean(0))
+    scale = np.sqrt((Mu ** 2).mean())
+    rel = np.abs(means[0] - means[1]).mean() / scale
+    assert rel < 0.15, rel
+    for mu_hat in means:
+        assert np.sqrt(((mu_hat - Mu) ** 2).mean()) < 0.5 * scale
+
+
+def test_feasibility_invariant_every_draw(rng):
+    """Every stored draw must satisfy the constraints. Regression test for a
+    precision bug: the W-update constraint matrix A_w = CA (x) V built with
+    a default-precision einsum rounds V to bfloat16 inside the contraction,
+    so accepted W draws violated the true constraints by up to ~1e-3
+    whenever the subsequent blocked-V GASS stayed put on the now-infeasible
+    point. All constraint/proposal einsums must run at Precision.HIGHEST."""
+    nrows_, ncols_, ndepth_, k = 6, 5, 8, 2
+    rng = np.random.default_rng(3)
+    W = rng.gamma(1, 1, size=(nrows_, k)); W[np.triu_indices(k, 1)] = 0
+    V = np.abs(rng.normal(1, .3, size=(ncols_, ndepth_, k)))
+    Mu = np.einsum("nk,mtk->nmt", W, V)
+    Y = rng.poisson(Mu).astype(float)
+    Y[0, 0] = np.nan
+
+    def ll(Yd, WV, Wm, Vm, row=None, col=None):
+        from jax.scipy.special import gammaln
+        if row is not None:
+            Yd = Yd[row]
+        if col is not None:
+            Yd = Yd[:, col]
+        if Yd.ndim > WV.ndim:
+            WV = WV[..., None]
+        rate = jnp.clip(WV, 1e-8, None)
+        Y0 = jnp.where(jnp.isnan(Yd), 0.0, Yd)
+        lp = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+        return jnp.sum(jnp.where(jnp.isnan(Yd), 0.0, lp))
+
+    C = np.concatenate([np.eye(ndepth_), np.zeros((ndepth_, 1))], axis=1)
+    W0 = np.abs(rng.normal(1, .2, size=(nrows_, k)))
+    W0[np.triu_indices(k, 1)] = 0
+    V0 = np.abs(rng.normal(1, .2, size=(ncols_, ndepth_, k)))
+    model = ConstrainedNonconjugateBayesianTensorFiltering(
+        nrows_, ncols_, ndepth_, ll, C, nembeds=k, tf_order=0,
+        sigma2_init=0.5, lam2_init=0.1, W_init=W0, V_init=V0,
+        gass_ngrid=50, v_block_size=3, seed=0)
+    res = model.run_gibbs(Y, nburn=400, nthin=1, nsamples=400, verbose=False)
+    Mu_hat = np.einsum("znk,zmtk->znmt",
+                       np.asarray(res["W"], np.float64),
+                       np.asarray(res["V"], np.float64))
+    assert Mu_hat.min() >= -1e-5, Mu_hat.min()

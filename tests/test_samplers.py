@@ -160,3 +160,30 @@ def test_gass_stay_put_when_infeasible_slice(key):
     x_new, ll = gass(key, x, lambda kk: jax.random.normal(kk, (1,)),
                      loglik, A, c, cur_ll=jnp.asarray(0.0))
     np.testing.assert_allclose(np.asarray(x_new), [1.0])
+
+
+def test_gass_callable_operator(key):
+    """gass() with a factorized constraint operator must produce exactly the
+    same draw as the dense matrix (the V updates pass A = CA (x) W as two
+    small matmuls instead of a materialized matrix)."""
+    import jax
+    rng = np.random.default_rng(7)
+    D, J = 6, 9
+    A = jnp.asarray(rng.normal(size=(J, D)).astype(np.float32))
+    x0 = jnp.asarray(np.full(D, 2.0, np.float32))  # strictly feasible for c
+    c = jnp.asarray((np.asarray(A) @ np.asarray(x0) - 1.0).astype(np.float32))
+
+    def loglik(pts):
+        return -0.5 * jnp.sum(pts ** 2, axis=-1)
+
+    v = jnp.asarray(rng.normal(size=D).astype(np.float32))
+    x_dense, ll_dense = gass(key, x0, None, loglik, A, c, v=v, ngrid=32)
+
+    _hp = jax.lax.Precision.HIGHEST
+    x_op, ll_op = gass(key, x0, None, loglik,
+                       lambda y: jnp.dot(A, y, precision=_hp), c,
+                       v=v, ngrid=32)
+    np.testing.assert_allclose(np.asarray(x_dense), np.asarray(x_op))
+    np.testing.assert_allclose(float(ll_dense), float(ll_op))
+    # and the draw is feasible and moved
+    assert np.all(np.asarray(A) @ np.asarray(x_dense) >= np.asarray(c) - 1e-5)

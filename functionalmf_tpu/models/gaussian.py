@@ -124,10 +124,12 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])   # (m, T, T)
         bands = build_v_bands(DtLD, G, penalty_half_bandwidth(self.tf_order))
         mu_part = jnp.einsum("ijt,ia->jta", wy, W)                # (m, T, k)
-        # super-block retiling: the scan runs T/B dense MXU steps instead of
-        # T tiny ones (TPU scans are latency-bound in step count)
+        # super-block retiling: the scan runs T/B dense steps instead of
+        # T tiny ones (TPU scans are latency-bound in step count); B=8 is
+        # the measured sweet spot at GDELT shape (batched Cholesky cost
+        # grows faster than linearly in the superblock size)
         Vnew = sample_mvn_block_banded_retiled(key, bands, mu_part=mu_part,
-                                               B=16, equilibrate=True)
+                                               B=8, equilibrate=True)
         return dict(state, V=Vnew.astype(self.dtype))
 
     def _update_nu2(self, state, pdata, key):

@@ -152,12 +152,23 @@ def block_banded_cholesky(bands, jitter: float = 0.0,
     dscale = jnp.mean(jnp.abs(jnp.diagonal(bands[..., :, 0, :, :],
                                            axis1=-2, axis2=-1)),
                       axis=(-2, -1), keepdims=True)[..., None]
+
+    # Lazy retries: a scalar-predicate lax.cond skips the refactorization
+    # entirely on the (overwhelmingly common) all-finite path — the eager
+    # version recomputed the full factor scan psd_attempts extra times on
+    # every call, quadrupling the Gaussian/NegBinom V-update cost.
+    def retry(a, L):
+        def redo(L):
+            bad = ~jnp.all(jnp.isfinite(L), axis=(-4, -3, -2, -1),
+                           keepdims=True)
+            eps = psd_eps * (100.0 ** a) * dscale
+            bands_j = bands.at[..., :, 0, :, :].add(eps * eyek)
+            Lr = _block_banded_cholesky_once(bands_j, jitter)
+            return jnp.where(bad, Lr, L)
+        return jax.lax.cond(jnp.all(jnp.isfinite(L)), lambda L: L, redo, L)
+
     for a in range(psd_attempts):
-        bad = ~jnp.all(jnp.isfinite(L), axis=(-4, -3, -2, -1), keepdims=True)
-        eps = psd_eps * (100.0 ** a) * dscale
-        bands_j = bands.at[..., :, 0, :, :].add(eps * eyek)
-        Lr = _block_banded_cholesky_once(bands_j, jitter)
-        L = jnp.where(bad, Lr, L)
+        L = retry(a, L)
     return L
 
 
@@ -309,18 +320,26 @@ def retile_bands(bands, B: int):
 
 
 def sample_mvn_block_banded_retiled(key, bands, mu_part=None, B: int = 32,
-                                    equilibrate: bool = True):
+                                    equilibrate: bool = True,
+                                    base_jitter: float = 1e-4):
     """theta ~ N(Q^-1 mu_part, Q^-1) via the super-block retiling.
 
-    bands: (..., T, p+1, k, k); returns (..., T, k). Exact — the retiled
-    system is the same matrix.
+    bands: (..., T, p+1, k, k); returns (..., T, k). The retiled system is
+    the same matrix. With equilibrate=True a `base_jitter` * I is added to
+    the equilibrated system (unit diagonal) up front: at horseshoe dynamic
+    range the un-jittered f32 factorization fails routinely in realistic
+    chain states, so most draws came from the retry ladder's first rung
+    anyway — jittering up front makes the common case ONE factor scan
+    instead of two-plus, with identical numerics. Deeper rungs remain as
+    lazy retries.
     """
     *batch, T, p1, k, _ = bands.shape
     if equilibrate:
         bands, s = equilibrate_bands(bands)
         mp = None if mu_part is None else mu_part * s
         x = sample_mvn_block_banded_retiled(key, bands, mu_part=mp, B=B,
-                                            equilibrate=False)
+                                            equilibrate=False,
+                                            base_jitter=base_jitter)
         return x * s
     B = min(max(B, p1 - 1), max(T, 1))
     bands2, T2 = retile_bands(bands, B)
@@ -328,7 +347,13 @@ def sample_mvn_block_banded_retiled(key, bands, mu_part=None, B: int = 32,
     if mu_part is not None:
         pad = [(0, 0)] * (mu_part.ndim - 2) + [(0, T2 * B - T), (0, 0)]
         mp2 = jnp.pad(mu_part, pad).reshape(tuple(batch) + (T2, B * k))
-    x = sample_mvn_block_banded(key, bands2, mu_part=mp2)
+    # No in-kernel retries: lax.cond executes both branches on TPU, so a
+    # retry ladder costs a full extra factor scan on EVERY call. The
+    # jittered first pass is the rung realistic chains land on anyway;
+    # the rare deeper failure propagates NaN to the model-level nan_guard
+    # (which keeps the previous draw and counts the event).
+    x = sample_mvn_block_banded(key, bands2, mu_part=mp2, jitter=base_jitter,
+                                psd_attempts=0)
     x = x.reshape(tuple(batch) + (T2 * B, k))[..., :T, :]
     return x
 
@@ -356,7 +381,8 @@ def equilibrate_bands(bands):
 
 
 def sample_mvn_block_banded(key, bands=None, mu_part=None, L=None,
-                            jitter: float = 0.0, equilibrate: bool = False):
+                            jitter: float = 0.0, equilibrate: bool = False,
+                            psd_attempts: int = 3):
     """theta ~ N(Q^-1 mu_part, Q^-1) for block-banded Q (or its factor L).
 
     Matches the dense sample_mvn_from_precision semantics
@@ -366,13 +392,16 @@ def sample_mvn_block_banded(key, bands=None, mu_part=None, L=None,
         bands, s = equilibrate_bands(bands)
         mp = None if mu_part is None else mu_part * s
         x = sample_mvn_block_banded(key, bands, mu_part=mp, jitter=jitter,
-                                    equilibrate=False)
+                                    equilibrate=False,
+                                    psd_attempts=psd_attempts)
         return x * s
     if L is None:
-        L = block_banded_cholesky(bands, jitter=jitter)
+        L = block_banded_cholesky(bands, jitter=jitter,
+                                  psd_attempts=psd_attempts)
     *batch, T, p1, k, _ = L.shape
     z = jax.random.normal(key, tuple(batch) + (T, k), dtype=L.dtype)
-    x = block_banded_solve_upper(L, z)
     if mu_part is not None:
-        x = x + block_banded_solve(L, mu_part)
-    return x
+        # x = L^-T (L^-1 mu_part + z): one lower + one upper scan instead
+        # of an upper for z plus a full solve for the mean
+        z = z + block_banded_solve_lower(L, mu_part)
+    return block_banded_solve_upper(L, z)

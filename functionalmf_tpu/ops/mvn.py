@@ -48,12 +48,22 @@ def cholesky_psd(Q, eps: float = 1e-6, attempts: int = 4):
     if attempts <= 0:
         return L
     eye = jnp.eye(Q.shape[-1], dtype=Q.dtype)
-    # escalate x100 per attempt (the reference escalates x10, fast_mvn.py:68,
-    # but in float32 a degenerate horseshoe regime needs a wider ladder)
+
+    # Lazy retries: a scalar-predicate lax.cond skips the refactorization
+    # on the all-finite path — the eager version paid `attempts` extra
+    # Cholesky calls on every invocation, which dominates at EP-politics
+    # size (batch of 1140 x 1140 factorizations).
+    # Escalate x100 per attempt (the reference escalates x10, fast_mvn.py:68,
+    # but in float32 a degenerate horseshoe regime needs a wider ladder).
+    def retry(a, L):
+        def redo(L):
+            bad = ~jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
+            Lr = jnp.linalg.cholesky(Q + (eps * 100.0**a) * eye)
+            return jnp.where(bad, Lr, L)
+        return jax.lax.cond(jnp.all(jnp.isfinite(L)), lambda L: L, redo, L)
+
     for a in range(attempts):
-        bad = ~jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
-        Lr = jnp.linalg.cholesky(Q + (eps * 100.0**a) * eye)
-        L = jnp.where(bad, Lr, L)
+        L = retry(a, L)
     return L
 
 

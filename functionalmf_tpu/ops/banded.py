@@ -172,6 +172,38 @@ def block_banded_cholesky(bands, jitter: float = 0.0,
     return L
 
 
+def _chol_pivot_guarded(S, rungs=(1e-2,)):
+    """Cholesky of a diagonal block with per-batch-element pivot repair.
+
+    Where the plain factorization comes out non-finite, retry the SAME
+    small block with escalating relative jitter, ending with a Gershgorin
+    shift (diagonal dominance) that guarantees a finite factor. This keeps
+    the repair local to the failing block — at horseshoe dynamic range the
+    f32 Schur complements of a long trend-filter chain go indefinite
+    routinely (observed on the flu-trends T=541 curves on EVERY sweep), and
+    a stalled V update wrecks the chain, so finiteness must be
+    unconditional. Cost: len(rungs)+1 extra small Cholesky calls per scan
+    step, all on the (batch, Bk, Bk) diagonal block only.
+    """
+    eye = jnp.eye(S.shape[-1], dtype=S.dtype)
+    scale = jnp.mean(jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1)),
+                     axis=-1)[..., None, None]
+    scale = jnp.maximum(scale, 1e-30)
+    # guaranteed rung: S + g I with g >= max row abs-sum is diagonally
+    # dominant with nonnegative diagonal, hence PSD
+    g = jnp.max(jnp.sum(jnp.abs(S), axis=-1), axis=-1)[..., None, None]
+    shifts = [jnp.zeros_like(scale)]
+    shifts += [r * scale for r in rungs]
+    shifts += [1.001 * g + 1e-6 * scale]
+    # ONE batched Cholesky over all rungs (an extra per-rung call inside the
+    # factor scan costs ~an op launch per step; a 3x batch is nearly free)
+    Ls = jnp.linalg.cholesky(jnp.stack([S + d * eye for d in shifts]))
+    finite = jnp.all(jnp.isfinite(Ls), axis=(-2, -1))      # (R, *batch)
+    idx = jnp.argmax(finite, axis=0)                       # first finite
+    return jnp.take_along_axis(
+        Ls, idx[None, ..., None, None], axis=0)[0]
+
+
 def _block_banded_cholesky_once(bands, jitter: float = 0.0):
     *batch, T, p1, k, _ = bands.shape
     p = p1 - 1
@@ -197,11 +229,11 @@ def _block_banded_cholesky_once(bands, jitter: float = 0.0):
                 S = S - jnp.einsum("...ij,...kj->...ik", row[dd], Lc_k)
             Lcc = window[..., d - 1, 0, :, :]  # L[c, c]
             row[d] = _tsolve_right(Lcc, S)
-        # diagonal block
+        # diagonal block (pivot-guarded: see _chol_pivot_guarded)
         S = B_t[..., 0, :, :]
         for d in range(1, p1):
             S = S - jnp.einsum("...ij,...kj->...ik", row[d], row[d])
-        row[0] = jnp.linalg.cholesky(S)
+        row[0] = _chol_pivot_guarded(S)
         row_stack = jnp.stack(row, axis=-3)  # (..., p+1, k, k)
         new_window = jnp.concatenate(
             [row_stack[..., None, :, :, :],

@@ -50,6 +50,11 @@ def main(argv=None):
     parser.add_argument("--nthin", type=int, default=100)
     parser.add_argument("--nsamples", type=int, default=100)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--nu2-mode", default="scalar",
+                        choices=["scalar", "row"],
+                        help="'row' samples one observation variance per "
+                             "state (framework extension; the shared-nu2 "
+                             "reference parity model undercovers here)")
     parser.add_argument("--outdir", default=None)
     args = parser.parse_args(argv)
 
@@ -65,18 +70,22 @@ def main(argv=None):
     for nembeds in args.nembeds:
         model = GaussianBayesianTensorFiltering(
             nrows, ncols, ndepth, nembeds=nembeds, tf_order=2,
-            sigma2_init=1, lam2_init=0.1, nu2_init=1, seed=args.seed)
+            sigma2_init=1, lam2_init=0.1, nu2_init=1, seed=args.seed,
+            nu2_mode=args.nu2_mode)
         print("Running Gibbs sampler (k={})".format(nembeds))
         results = model.run_gibbs(Y_train, nburn=args.nburn, nthin=args.nthin,
                                   nsamples=args.nsamples, print_freq=50,
                                   verbose=True)
         Mu_hat = np.einsum("znk,zmtk->znmt", results["W"], results["V"])
         Mu_mean = Mu_hat.mean(axis=0)
-        nu2s = results["nu2"][:, 0]
+        nu2s = results["nu2"]
+        if nu2s.ndim == 2:                       # scalar mode: (S, 1)
+            nu2s = nu2s[:, 0][:, None, None, None]
+        # row mode: (S, nrows, 1, 1) broadcasts per state
 
         # posterior predictive bands (benchmark.py:66-76)
         draws = Mu_hat[:, :, :, :, None] + rng.normal(
-            0, np.sqrt(nu2s)[:, None, None, None, None],
+            0, np.sqrt(nu2s)[..., None],
             size=Mu_hat.shape + (20,))
         draws = draws.reshape(-1, nrows, ncols, ndepth)
         Y_upper = np.percentile(draws, 97.5, axis=0)

@@ -28,16 +28,27 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
 
     def __init__(self, nrows, ncols, ndepth,
                  nu2_init=None, nu2_true=None,
-                 nu2_a=0.1, nu2_b=0.1, **kwargs):
+                 nu2_a=0.1, nu2_b=0.1,
+                 nu2_mode="scalar", **kwargs):
+        """nu2_mode: 'scalar' (reference parity — one shared sampled
+        observation variance, factor.py:295) or 'row' (per-row sampled
+        variances, a framework extension: on the flu-trends benchmark each
+        state has its own noise level, and a shared nu2 caps the
+        posterior-predictive coverage well below nominal)."""
         super().__init__(nrows, ncols, ndepth, **kwargs)
         self.nu2_a = nu2_a
         self.nu2_b = nu2_b
+        assert nu2_mode in ("scalar", "row"), nu2_mode
+        self.nu2_mode = nu2_mode
+        row_shape = (self.nrows, 1, 1)
 
         def nu2_state(value):
             # scalar (homoskedastic) or (nrows, ncols, ndepth) heteroskedastic
             # observation variance (factor.py:343-346, 388-391)
             v = np.asarray(value, dtype=np.float32)
             if v.ndim == 0:
+                if self.nu2_mode == "row":
+                    return self._chain_broadcast(np.full(row_shape, v), row_shape)
                 return self._chain_full((), value)
             assert v.shape == (self.nrows, self.ncols, self.ndepth)
             return self._chain_broadcast(v, v.shape)
@@ -49,15 +60,16 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
             self.sample_nu2 = True
             if nu2_init is not None:
                 assert np.ndim(nu2_init) == 0, (
-                    "heteroskedastic nu2 must be fixed (nu2_true); the "
-                    "sampled nu2 is a single shared variance "
-                    "(factor.py:295, ConjugateInverseGammaPrior(1, ...))")
+                    "heteroskedastic nu2 must be fixed (nu2_true); sampled "
+                    "nu2 is scalar or per-row (nu2_mode)")
                 self._state["nu2"] = nu2_state(nu2_init)
             else:
                 # factor.py:418-419: nu2 = 1 / IG-prior draw
                 k = self._next_init_keys()
+                shape = row_shape if self.nu2_mode == "row" else ()
                 self._state["nu2"] = jax.vmap(
-                    lambda kk: 1.0 / (jax.random.gamma(kk, jnp.asarray(nu2_a)) / nu2_b)
+                    lambda kk: 1.0 / (jax.random.gamma(kk, jnp.full(shape, nu2_a))
+                                      / nu2_b)
                 )(k).astype(self.dtype)
 
     nu2 = property(lambda s: s._get_var("nu2"), lambda s, v: s._set_var("nu2", v))
@@ -133,10 +145,19 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         return dict(state, V=Vnew.astype(self.dtype))
 
     def _update_nu2(self, state, pdata, key):
-        """Shared observation-noise IG update (factor.py:411-416)."""
+        """Observation-noise IG update (factor.py:411-416); shared scalar
+        or per-row depending on nu2_mode."""
         Mu = jnp.einsum("nk,mtk->nmt", state["W"], state["V"])
-        sqerr = jnp.sum(pdata["ysqsum"] - 2.0 * Mu * pdata["ysum"]
-                        + pdata["counts"] * Mu * Mu)
+        cellerr = (pdata["ysqsum"] - 2.0 * Mu * pdata["ysum"]
+                   + pdata["counts"] * Mu * Mu)
+        if self.nu2_mode == "row":
+            sqerr = jnp.sum(cellerr, axis=(1, 2))          # (nrows,)
+            nobs = jnp.sum(pdata["counts"], axis=(1, 2))
+            prec = jax.random.gamma(key, self.nu2_a + nobs / 2.0) / (
+                self.nu2_b + sqerr / 2.0)
+            return dict(state,
+                        nu2=(1.0 / prec)[:, None, None].astype(self.dtype))
+        sqerr = jnp.sum(cellerr)
         nobs = jnp.sum(pdata["counts"])
         prec = jax.random.gamma(key, self.nu2_a + nobs / 2.0) / (
             self.nu2_b + sqerr / 2.0)
@@ -173,13 +194,15 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         """
         W = np.asarray(params.get("W", self.W))
         V = np.asarray(params.get("V", self.V))
-        nu2 = np.asarray(params.get("nu2", self.nu2)).reshape(-1)[0]
+        nu2 = np.asarray(params.get("nu2", self.nu2), dtype=np.float64)
         Y = np.asarray(data, dtype=np.float64)
         if Y.ndim == 3:
             Y = Y[..., None]
         Mu = np.einsum("nk,mtk->nmt", W, V)[..., None]
-        resid2 = (Y - Mu) ** 2
+        # nu2: scalar, (nrows,1,1) per-row, or (n,m,t) heteroskedastic
+        nu2b = np.broadcast_to(nu2.reshape(nu2.shape + (1,) * (4 - nu2.ndim))
+                               if nu2.ndim else nu2, Y.shape)
         obs = ~np.isnan(Y)
-        n = obs.sum()
-        return float(-0.5 * np.nansum(resid2[obs]) / nu2
-                     - 0.5 * n * np.log(2 * np.pi * nu2))
+        resid2 = (Y - Mu) ** 2
+        return float(np.sum(-0.5 * resid2[obs] / nu2b[obs]
+                            - 0.5 * np.log(2 * np.pi * nu2b[obs])))

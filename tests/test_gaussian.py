@@ -164,3 +164,27 @@ def test_callback_path(rng):
                           callback=lambda m, d, s: steps.append(s))
     assert steps == list(range(4 + 2 * 3))
     assert res["W"].shape == (3, 4, 2)
+
+
+def test_nu2_row_mode_recovery(rng):
+    """nu2_mode='row' (framework extension): per-row observation variances
+    are recovered; scalar mode is the reference-parity default."""
+    nrows, ncols, ndepth, k = 8, 6, 10, 2
+    W = rng.normal(size=(nrows, k)); W[np.triu_indices(k, 1)] = 0
+    V = rng.normal(size=(ncols, ndepth, k))
+    Mu = np.einsum("nk,mtk->nmt", W, V)
+    nu2_true = np.linspace(0.05, 2.0, nrows)
+    Y = Mu + rng.normal(0, np.sqrt(nu2_true)[:, None, None], size=Mu.shape)
+
+    model = GaussianBayesianTensorFiltering(
+        nrows, ncols, ndepth, nembeds=k, tf_order=1, seed=0, nu2_mode="row",
+        W_true=W, V_true=V)
+    res = model.run_gibbs(Y, nburn=200, nthin=1, nsamples=400, verbose=False)
+    assert res["nu2"].shape == (400, nrows, 1, 1)
+    nu2_hat = res["nu2"].mean(0)[:, 0, 0]
+    # with W,V fixed at truth the per-row IG posterior concentrates around
+    # the per-row truth (60 obs per row)
+    rel = np.abs(nu2_hat - nu2_true) / nu2_true
+    assert np.all(rel < 0.6), (nu2_hat, nu2_true)
+    # rows must differ (a shared scalar could not satisfy both ends)
+    assert nu2_hat[-1] > 4 * nu2_hat[0]

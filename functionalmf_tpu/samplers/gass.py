@@ -10,11 +10,15 @@ Design delta (SURVEY.md §7 "GASS without data-dependent shapes"): the
 reference builds a 10000-point grid, prunes it to a variable-length valid
 set, and downsamples to ngrid (gass.py:64-110). Here we compute the joint
 interval [theta_lo, theta_hi] from the concave ("interval") constraints,
-place a *fixed* ngrid of points inside it, mask points falling inside any
-convex ("complement") constraint's excluded arc, evaluate the batched
-log-likelihood at all ngrid points, and select uniformly among the
-above-slice valid points via the Gumbel-argmax trick. Same stationary
-behavior, fully static shapes, vmappable across rows/columns/chains.
+place a *fixed* ngrid of points inside it, mask points by a direct
+feasibility check of every candidate (which subsumes the reference's
+complement-arc exclusion and guarantees A x_new >= c in float32), evaluate
+the batched log-likelihood at all ngrid points, and select uniformly among
+the above-slice valid points via the Gumbel-argmax trick. Same stationary
+behavior, fully static shapes, vmappable across rows/columns/chains. The
+constraints may be given as a dense matrix or as a factorized linear
+operator (callable), which the BTF V updates use to avoid materializing
+the Kronecker-structured constraint matrix.
 """
 from __future__ import annotations
 

@@ -46,6 +46,8 @@ def poisson_loglik_block(Y, WV, W, V, row=None, col=None, tslice=None):
     # likelihood factorizes over cells)
     s0, e0 = tslice
     Yb = Y[:, col, s0:e0]
+    if Yb.ndim > WV.ndim:  # replicate axis (parity with the example/app
+        WV = WV[..., None]  # versions of this likelihood)
     rate = jnp.clip(WV, 1e-8, None)
     Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
     ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)

@@ -186,8 +186,12 @@ class BayesianTensorFiltering:
             else:
                 state["V"] = self._init_V_val(ck, state["lam2"], state["Tau2"])
 
-        # numerical-failsafe event counter (see _nan_guard)
+        # numerical-failsafe event counters: nan_fallbacks counts whole-array
+        # non-finite skips (_nan_guard) plus Gershgorin-shift pivot repairs;
+        # pivot_repairs counts every jittered-pivot repair in the banded
+        # factor scans (ops/banded.py:_chol_pivot_guarded)
         state["nan_fallbacks"] = self._chain_full((), 0.0)
+        state["pivot_repairs"] = self._chain_full((), 0.0)
         self._state = state
 
     # ------------------------------------------------------------------
@@ -452,13 +456,46 @@ class BayesianTensorFiltering:
         return (self.sample_sigma2, self.sample_Tau2, self.sample_lam2,
                 self.sample_W, self.sample_V)
 
+    # ------------------------------------------------------------------
+    # mesh sharding: explicit per-model partition specs (no heuristics)
+    # ------------------------------------------------------------------
+    def state_partition_specs(self):
+        """Explicit {state key: PartitionSpec}. Axis 0 is always chains
+        (dp); W shards rows and V/Tau2 shard columns over mp — the TPU
+        equivalent of the reference's per-row/per-column process fan-out
+        (factor.py:984-1000). Subclasses MUST extend this dict for every
+        state key they add (enforced in _shard_specs)."""
+        from jax.sharding import PartitionSpec as P
+        from functionalmf_tpu.parallel.mesh import DP_AXIS as dp, MP_AXIS as mp
+        return {
+            "sigma2": P(dp), "lam2": P(dp), "lam2_a": P(dp),
+            "nan_fallbacks": P(dp), "pivot_repairs": P(dp),
+            "Tau2": P(dp, mp), "Tau2_a": P(dp, mp),
+            "Tau2_b": P(dp, mp), "Tau2_c": P(dp, mp),
+            "W": P(dp, mp),   # rows over mp
+            "V": P(dp, mp),   # columns over mp
+        }
+
+    def _shard_specs(self):
+        specs = self.state_partition_specs()
+        missing = set(self._state) - set(specs)
+        assert not missing, (
+            f"state keys {sorted(missing)} have no partition spec; extend "
+            f"{type(self).__name__}.state_partition_specs")
+        return specs
+
+    def state_shardings(self, mesh=None):
+        """NamedShardings for this model's state on `mesh` (default
+        self.mesh), with indivisible dims falling back to replication."""
+        from functionalmf_tpu.parallel.mesh import specs_to_shardings
+        mesh = self.mesh if mesh is None else mesh
+        return specs_to_shardings(mesh, self._shard_specs(), self._state)
+
     def _shard_state(self, state):
-        if self.mesh is not None and self.nchains > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            axis = self.mesh.axis_names[0]
-            sharding = NamedSharding(self.mesh, P(axis))
-            state = {k: jax.device_put(v, sharding) for k, v in state.items()}
-        return state
+        if self.mesh is None:
+            return state
+        shardings = self.state_shardings()
+        return {k: jax.device_put(v, shardings[k]) for k, v in state.items()}
 
     def _collect(self, state):
         return {k: state[k] for k in self._collect_keys}
@@ -478,7 +515,7 @@ class BayesianTensorFiltering:
         if cache is None:
             cache = self._run_cache = {}
         ckey = (self._sample_flags(), self.nchains, nthin, burn_chunk_size,
-                sample_chunk)
+                sample_chunk, id(self.mesh))
         if ckey in cache:
             return cache[ckey]
 
@@ -486,6 +523,21 @@ class BayesianTensorFiltering:
         vsweep = jax.vmap(sweep, in_axes=(0, None, 0))
         collect_keys = self._collect_keys
         nchains = self.nchains
+
+        # Pin the carried state to the model's (dp, mp) shardings so the
+        # partitioner keeps W-rows / V-columns distributed across every
+        # sweep of the loop instead of drifting to replicated (the mp-axis
+        # equivalent of the reference's per-row/column worker ownership,
+        # factor.py:709, 845).
+        if self.mesh is not None:
+            shardings = self.state_shardings()
+
+            def pin(st):
+                return {k: jax.lax.with_sharding_constraint(v, shardings[k])
+                        for k, v in st.items()}
+        else:
+            def pin(st):
+                return st
 
         def step_keys(base_key, step):
             base = jax.random.fold_in(base_key, step)
@@ -495,15 +547,15 @@ class BayesianTensorFiltering:
         @jax.jit
         def burn_chunk(state, pdata, base_key, offset):
             def one(i, st):
-                return vsweep(st, pdata, step_keys(base_key, offset + i))
+                return pin(vsweep(st, pdata, step_keys(base_key, offset + i)))
             return jax.lax.fori_loop(0, burn_chunk_size, one, state)
 
         @jax.jit
         def sample_chunk_fn(state, pdata, base_key, offset):
             def body(st, t):
                 def inner(i, s):
-                    return vsweep(s, pdata,
-                                  step_keys(base_key, offset + t * nthin + i))
+                    return pin(vsweep(s, pdata,
+                                      step_keys(base_key, offset + t * nthin + i)))
                 st = jax.lax.fori_loop(0, nthin, inner, st)
                 return st, {k: st[k] for k in collect_keys}
             return jax.lax.scan(body, state, jnp.arange(sample_chunk))
@@ -579,7 +631,9 @@ class BayesianTensorFiltering:
             outs = {k: np.concatenate([c[k] for c in chunks_out])[:nsamples]
                     for k in chunks_out[0]}
             self._state = state
-            return self._format_results(outs, nsamples)
+            results = self._format_results(outs, nsamples)
+            self._report_run_health(results, verbose)
+            return results
 
         # Callback path: per-step host loop (callback may mutate model state,
         # e.g. doseresponse/fit.py:102-150 resamples side variables).
@@ -607,7 +661,28 @@ class BayesianTensorFiltering:
                 for k, v in snap.items():
                     outs_host[k][sidx] = v
         outs = {k: jnp.asarray(v) for k, v in outs_host.items()}
-        return self._format_results(outs, nsamples)
+        results = self._format_results(outs, nsamples)
+        self._report_run_health(results, verbose)
+        return results
+
+    def _report_run_health(self, results, verbose):
+        """Surface the numerical-failsafe counters (VERDICT.md Weak #5): a
+        chain that silently kept stale draws through _nan_guard (or sampled
+        from a pivot-repaired banded factor, ops/banded.py) must say so.
+        The counts land in the results dict and, when nonzero, on stderr."""
+        import sys
+        fb = np.asarray(jax.device_get(self._state["nan_fallbacks"]))
+        pr = np.asarray(jax.device_get(self._state["pivot_repairs"]))
+        results["nan_fallbacks"] = fb.reshape(self.nchains)
+        results["pivot_repairs"] = pr.reshape(self.nchains)
+        total = float(fb.sum())
+        if total > 0 and verbose is not False:
+            print(f"\tWARNING: {int(total)} numerical-failsafe event(s) "
+                  f"across {self.nchains} chain(s) (nan_fallbacks="
+                  f"{fb.reshape(-1).tolist()}, pivot_repairs="
+                  f"{pr.reshape(-1).tolist()}); affected draws kept previous "
+                  "values or a regularized conditional — inspect convergence "
+                  "diagnostics.", file=sys.stderr)
 
     def _format_results(self, outs, nsamples):
         """(nsamples, nchains, ...) device outputs -> reference-shaped numpy."""
@@ -657,11 +732,14 @@ class BayesianTensorFiltering:
                 print(" ".join(f"{k}={v}" for k, v in cur.items()))
             self._set_hyperparameters(cur)
             results = self.run_gibbs(data, verbose=False, **run_kwargs)
-            nsamples = next(iter(results.values())).shape[0]
-            mean_results = {k: v.mean(axis=0) for k, v in results.items()}
+            # posterior-draw arrays only (results also carries run-health
+            # diagnostics like nan_fallbacks, which have no sample axis)
+            draws = {k: results[k] for k in self._collect_keys if k in results}
+            nsamples = next(iter(draws.values())).shape[0]
+            mean_results = {k: v.mean(axis=0) for k, v in draws.items()}
             D_mean = -2 * self.logprob(data, **mean_results)
             mean_D = -2 * np.mean([
-                self.logprob(data, **{k: v[i] for k, v in results.items()})
+                self.logprob(data, **{k: v[i] for k, v in draws.items()})
                 for i in range(nsamples)])
             dic_scores[score_idx] = 2 * mean_D - D_mean
             if best_score is None or dic_scores[score_idx] < best_score:

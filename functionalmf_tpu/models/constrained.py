@@ -123,6 +123,15 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                     "overconfident EP approximations can trap the GASS chain "
                     "— consider ep_from_mf(mode='multiplier', multiplier>=3).")
 
+    def state_partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+        from functionalmf_tpu.parallel.mesh import DP_AXIS as dp
+        specs = super().state_partition_specs()
+        if self._has_row_constraints:
+            # small (nR, k+1) matrix read whole by every row update
+            specs["Row_constraints"] = P(dp)
+        return specs
+
     @property
     def Row_constraints(self):
         if not self._has_row_constraints:

@@ -74,6 +74,15 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
 
     nu2 = property(lambda s: s._get_var("nu2"), lambda s, v: s._set_var("nu2", v))
 
+    def state_partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+        from functionalmf_tpu.parallel.mesh import DP_AXIS as dp, MP_AXIS as mp
+        specs = super().state_partition_specs()
+        # nu2 is (C,), (C, n, 1, 1) or (C, n, m, T): rows align with W's mp
+        # sharding (the spec is trimmed to the array's ndim downstream)
+        specs["nu2"] = P(dp, mp)
+        return specs
+
     # ------------------------------------------------------------------
     # data preparation: NaN-masked sufficient statistics over replicates
     # (factor.py:323-330), computed once instead of per sweep.
@@ -140,9 +149,16 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         # T tiny ones (TPU scans are latency-bound in step count); B=8 is
         # the measured sweet spot at GDELT shape (batched Cholesky cost
         # grows faster than linearly in the superblock size)
-        Vnew = sample_mvn_block_banded_retiled(key, bands, mu_part=mu_part,
-                                               B=8, equilibrate=True)
-        return dict(state, V=Vnew.astype(self.dtype))
+        Vnew, repaired, gersh = sample_mvn_block_banded_retiled(
+            key, bands, mu_part=mu_part, B=8, equilibrate=True,
+            return_repairs=True)
+        # Pivot-repair telemetry (ADVICE r1): factoring a perturbed
+        # conditional must never be silent. Ordinary jitter-rung repairs are
+        # counted in pivot_repairs; Gershgorin-shift repairs (a materially
+        # perturbed conditional variance) also count as failsafe events.
+        return dict(state, V=Vnew.astype(self.dtype),
+                    pivot_repairs=state["pivot_repairs"] + repaired.sum(),
+                    nan_fallbacks=state["nan_fallbacks"] + gersh.sum())
 
     def _update_nu2(self, state, pdata, key):
         """Observation-noise IG update (factor.py:411-416); shared scalar
@@ -195,6 +211,16 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         W = np.asarray(params.get("W", self.W))
         V = np.asarray(params.get("V", self.V))
         nu2 = np.asarray(params.get("nu2", self.nu2), dtype=np.float64)
+        # logprob evaluates ONE parameter set; with nchains > 1 the model
+        # attributes carry a leading chain axis — use chain 0 (matching the
+        # reference's single-chain semantics). Expected per-chain ndims:
+        # W 2, V 3, nu2 {0, 3}.
+        if W.ndim == 3:
+            W = W[0]
+        if V.ndim == 4:
+            V = V[0]
+        if nu2.ndim in (1, 4):
+            nu2 = nu2[0] if nu2.shape[0] == self.nchains else nu2.reshape(-1)[0]
         Y = np.asarray(data, dtype=np.float64)
         if Y.ndim == 3:
             Y = Y[..., None]

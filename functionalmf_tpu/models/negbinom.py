@@ -71,6 +71,14 @@ class NegativeBinomialBayesianTensorFiltering(BinomialBayesianTensorFiltering):
 
     R = property(lambda s: s._get_var("R"), lambda s, v: s._set_var("R", v))
 
+    def state_partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+        from functionalmf_tpu.parallel.mesh import DP_AXIS as dp
+        specs = super().state_partition_specs()
+        # R aggregates over rdims (axes may be size 1); replicate over mp
+        specs["R"] = P(dp)
+        return specs
+
     # ------------------------------------------------------------------
     def prepare_data(self, data):
         Y = np.asarray(data, dtype=np.float32)

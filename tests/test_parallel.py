@@ -32,13 +32,98 @@ def test_sharded_multichain_gaussian(rng):
 def test_shard_state_specs(rng):
     from functionalmf_tpu import GaussianBayesianTensorFiltering
     mesh = make_mesh(n_dp=2, n_mp=4)
-    model = GaussianBayesianTensorFiltering(8, 8, 6, nembeds=2, nchains=2, seed=0)
-    sharded = shard_state(model.state, mesh)
-    specs = state_shardings(mesh, model.state)
-    # W shards rows over mp
+    model = GaussianBayesianTensorFiltering(8, 8, 6, nembeds=2, nchains=2,
+                                            seed=0, mesh=mesh)
+    sharded = model._shard_state(model.state)
+    specs = model.state_shardings()
+    # W shards rows over mp, and the placed arrays actually carry the spec
     assert "mp" in str(specs["W"].spec)
+    assert "mp" in str(specs["V"].spec)
     for k, v in sharded.items():
         assert v.shape == model.state[k].shape
+    assert "mp" in str(sharded["W"].sharding.spec)
+
+
+def test_indivisible_dims_fall_back_to_replication():
+    """GDELT-like odd sizes (19 rows) over mp=4 must not error."""
+    from functionalmf_tpu import GaussianBayesianTensorFiltering
+    mesh = make_mesh(n_dp=2, n_mp=4)
+    model = GaussianBayesianTensorFiltering(19, 19, 6, nembeds=2, nchains=2,
+                                            seed=0, mesh=mesh)
+    sharded = model._shard_state(model.state)
+    assert "mp" not in str(sharded["W"].sharding.spec)
+
+
+def test_sharded_equals_unsharded_gaussian(rng):
+    """The (dp, mp)-sharded run must produce the same draws as the
+    unsharded run for identical keys — GSPMD computes the same function,
+    so only float reassociation noise is allowed."""
+    from functionalmf_tpu import GaussianBayesianTensorFiltering
+    nrows, ncols, ndepth, k, nchains = 8, 8, 6, 2, 2
+    Y = rng.normal(size=(nrows, ncols, ndepth))
+
+    kwargs = dict(nembeds=k, nchains=nchains, seed=3)
+    ref = GaussianBayesianTensorFiltering(nrows, ncols, ndepth, **kwargs)
+    res_ref = ref.run_gibbs(Y, nburn=10, nthin=1, nsamples=5, verbose=False)
+
+    mesh = make_mesh(n_dp=2, n_mp=4)
+    mod = GaussianBayesianTensorFiltering(nrows, ncols, ndepth, mesh=mesh,
+                                          **kwargs)
+    res_mesh = mod.run_gibbs(Y, nburn=10, nthin=1, nsamples=5, verbose=False)
+
+    for key_ in ("W", "V", "lam2", "sigma2"):
+        np.testing.assert_allclose(res_mesh[key_], res_ref[key_],
+                                   rtol=2e-3, atol=2e-4, err_msg=key_)
+    # the run's final carried state is still mp-sharded (not drifted to
+    # replicated across chunk boundaries)
+    assert "mp" in str(mod.state["W"].sharding.spec)
+
+
+def test_sharded_equals_unsharded_constrained(rng):
+    """Same equivalence for the flagship constrained model (GASS path,
+    all-of-V constraint assembly crossing the mp shards)."""
+    from jax.scipy.special import gammaln
+    from functionalmf_tpu import ConstrainedNonconjugateBayesianTensorFiltering
+
+    nrows, ncols, ndepth, k = 8, 8, 6, 2
+
+    def poisson_loglik(Y, WV, W, V, row=None, col=None):
+        if row is not None:
+            Y = Y[row]
+        if col is not None:
+            Y = Y[:, col]
+        rate = jnp.clip(WV, 1e-8, None)
+        Y0 = jnp.where(jnp.isnan(Y), 0.0, Y)
+        ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+        return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
+
+    W0 = np.abs(rng.normal(1, 0.2, size=(nrows, k)))
+    W0[np.triu_indices(k, k=1)] = 0
+    V0 = np.abs(rng.normal(1, 0.2, size=(ncols, ndepth, k)))
+    Y = rng.poisson(np.einsum("nk,mtk->nmt", W0, V0)).astype(float)
+    Constraints = np.concatenate([np.eye(ndepth), np.zeros((ndepth, 1))], axis=1)
+
+    kwargs = dict(nembeds=k, tf_order=1, sigma2_init=0.5, lam2_init=0.1,
+                  W_init=W0, V_init=V0, gass_ngrid=12, seed=5, nchains=2)
+    ref = ConstrainedNonconjugateBayesianTensorFiltering(
+        nrows, ncols, ndepth, poisson_loglik, Constraints, **kwargs)
+    res_ref = ref.run_gibbs(Y, nburn=5, nthin=1, nsamples=3, verbose=False)
+
+    mesh = make_mesh(n_dp=2, n_mp=4)
+    mod = ConstrainedNonconjugateBayesianTensorFiltering(
+        nrows, ncols, ndepth, poisson_loglik, Constraints, mesh=mesh, **kwargs)
+    res_mesh = mod.run_gibbs(Y, nburn=5, nthin=1, nsamples=3, verbose=False)
+
+    # GASS's slice-sampler arcs amplify float reassociation noise across
+    # sweeps, so a handful of elements drift at the 1e-3 level; a real
+    # partitioning bug (e.g. a missing all-gather in the constraint
+    # assembly) corrupts the bulk of the elements, which this catches.
+    for key_ in ("W", "V"):
+        diff = np.abs(res_mesh[key_] - res_ref[key_])
+        scale = 1e-4 + 1e-2 * np.abs(res_ref[key_])
+        frac_close = float(np.mean(diff <= scale))
+        assert frac_close >= 0.9, (key_, frac_close, float(diff.max()))
+        assert np.isfinite(res_mesh[key_]).all(), key_
 
 
 def test_graft_entry_hooks():

@@ -49,54 +49,68 @@ def estimate_likelihood(df, verbose=False):
 
 def fit_logistic_factors(Y, nembeds, max_steps=100, concentrations=None,
                          verbose=False, tol=1e-4, regularizer=1e-4, rng=None):
-    """SLSQP ALS fit (reference logistic.py:42-91)."""
+    """Fit E[Y_ijt] = ilogit(<w_i, v_j> conc_t + a_i + b_j).
+
+    Capability parity with reference doseresponse/logistic.py:42-91, but a
+    different algorithm: instead of alternating per-row / per-column SLSQP
+    subproblems, ALL parameters are fit jointly by one bounded L-BFGS-B run
+    with an analytic vectorized gradient — one solver call over (n + m) *
+    (k + 1) parameters replaces n + m SLSQP calls per ALS step. Parameter
+    box bounds [-10, 10] and the L2 regularization (on the mean squared
+    parameter) match the reference's subproblem setup.
+    """
     from scipy.optimize import minimize
     rng = np.random.default_rng() if rng is None else rng
+    n, m, T = Y.shape
+    k = int(nembeds)
     if concentrations is None:
-        concentrations = np.arange(Y.shape[2])
-    concentrations = np.asarray(concentrations, dtype=float)
-    W = rng.normal(0, 0.1, size=(Y.shape[0], nembeds))
-    V = rng.normal(0, 0.1, size=(Y.shape[1], nembeds))
-    a = rng.normal(size=(Y.shape[0]))
-    b = rng.normal(size=(Y.shape[1]))
+        concentrations = np.arange(T)
+    conc = np.asarray(concentrations, dtype=float)
 
-    rmse = np.inf
-    for step in range(max_steps):
-        prev_rmse = rmse
-        for i in range(W.shape[0]):
-            def fun(x, i=i):
-                logit = (np.einsum("k,mk,t->mt", x[1:], V, concentrations)
-                         + x[0] + b[:, None])
-                return (np.nansum((Y[i] - ilogit(logit)) ** 2)
-                        + regularizer * (x ** 2).mean())
-            bounds = [(-10, 10)] * (nembeds + 1)
-            res = minimize(fun, x0=np.concatenate([a[i:i + 1], W[i]]),
-                           method="SLSQP", bounds=bounds,
-                           options={"ftol": 1e-8, "maxiter": 1000})
-            a[i], W[i] = res.x[0], res.x[1:]
-        for j in range(V.shape[0]):
-            def fun(x, j=j):
-                logit = (np.einsum("k,nk,t->nt", x[1:], W, concentrations)
-                         + x[0] + a[:, None])
-                return (np.nansum((Y[:, j] - ilogit(logit)) ** 2)
-                        + regularizer * (x ** 2).mean())
-            bounds = [(-10, 10)] * (nembeds + 1)
-            res = minimize(fun, x0=np.concatenate([b[j:j + 1], V[j]]),
-                           method="SLSQP", bounds=bounds,
-                           options={"ftol": 1e-8, "maxiter": 1000})
-            b[j], V[j] = res.x[0], res.x[1:]
+    obs = ~np.isnan(Y)
+    Yz = np.where(obs, Y, 0.0)
+    nparams = (n + m) * (k + 1)
+    sizes = (n * k, m * k, n, m)
+    splits = np.cumsum(sizes)[:-1]
 
-        Mu = ilogit(np.einsum("nk,mk,t->nmt", W, V, concentrations)
-                    + a[:, None, None] + b[None, :, None])
-        rmse = np.sqrt(np.nansum((Y - Mu) ** 2))
-        delta = (prev_rmse - rmse) / rmse if rmse > 0 else 0
-        if verbose:
-            print("step {} delta {}".format(step, delta))
-        if delta <= tol:
-            break
+    def unpack(x):
+        Wf, Vf, a, b = np.split(x, splits)
+        return Wf.reshape(n, k), Vf.reshape(m, k), a, b
 
-    Mu = ilogit(np.einsum("nk,mk,t->nmt", W, V, concentrations)
+    def logits(W, V, a, b):
+        s = W @ V.T                                   # (n, m)
+        return (s[:, :, None] * conc[None, None, :]
                 + a[:, None, None] + b[None, :, None])
+
+    def value_and_grad(x):
+        W, V, a, b = unpack(x)
+        z = logits(W, V, a, b)
+        p = ilogit(z)
+        r = np.where(obs, p - Yz, 0.0)                # (n, m, T)
+        loss = float((r * r)[obs].sum()) + regularizer * (x * x).mean()
+        gz = 2.0 * r * p * (1.0 - p)                  # dloss/dz
+        gs = gz @ conc                                # (n, m): sum_t gz c_t
+        gW = gs @ V
+        gV = gs.T @ W
+        ga = gz.sum(axis=(1, 2))
+        gb = gz.sum(axis=(0, 2))
+        g = np.concatenate([gW.ravel(), gV.ravel(), ga, gb])
+        g += regularizer * 2.0 * x / nparams
+        return loss, g
+
+    x0 = np.concatenate([
+        rng.normal(0, 0.1, size=n * k),
+        rng.normal(0, 0.1, size=m * k),
+        rng.normal(size=n),
+        rng.normal(size=m),
+    ])
+    res = minimize(value_and_grad, x0, jac=True, method="L-BFGS-B",
+                   bounds=[(-10, 10)] * nparams,
+                   options={"maxiter": 200 * max_steps, "ftol": tol * 1e-6})
+    if verbose:
+        print(f"logistic MF: {res.nit} L-BFGS iters, loss {res.fun:.5f}")
+    W, V, a, b = unpack(res.x)
+    Mu = ilogit(logits(W, V, a, b))
     return Mu, W, V, a, b
 
 

@@ -13,45 +13,53 @@ __all__ = ["grid_ep_approx", "ep_from_mf"]
 
 def grid_ep_approx(likelihood, ngrid=100, x_min=0, x_max=1, tol=1e-4,
                    min_space=1e-3, max_refinements=1000):
-    """Adaptive-grid Gaussian moment match of a 1-D likelihood
-    (utils.py:126-190). Returns (mu, sigma)."""
-    grid = np.linspace(x_min, x_max, ngrid)
-    probs = likelihood(grid)
-    probs = probs / probs.sum()
-    upper, lower = x_max, x_min
+    """Gaussian moment match of a 1-D likelihood on [x_min, x_max].
 
-    refinements = 0
-    while probs.min() < tol and refinements < max_refinements:
-        refinements += 1
-        to_remove = int(np.argmin(probs))
-        to_split = int(np.argmax(probs))
+    Capability parity with reference utils.py:126-190 (adaptive grid →
+    (mu, sigma) of the normalized likelihood), redesigned as zoom
+    quadrature: evaluate on a uniform grid, find the sub-interval holding
+    the (1 - tol) central mass, re-grid onto it, and repeat until the
+    window stops shrinking. Each round re-evaluates the whole uniform grid
+    (vectorized) instead of inserting/deleting single points, and the final
+    moments use trapezoid weights, which removes the equal-bin-width bias
+    of point-mass moments around peaked likelihoods.
 
-        if grid[to_split] == x_max:
-            to_add = [(grid[to_split - 1] + grid[to_split]) / 2, grid[to_split]]
-        elif grid[to_split] == x_min:
-            to_add = [grid[to_split], (grid[to_split] + grid[to_split + 1]) / 2]
-        elif to_split == ngrid - 1:
-            to_add = np.linspace(grid[to_split - 1], upper, 4)[1:3]
-        elif to_split == 0:
-            to_add = np.linspace(lower, grid[to_split + 1], 4)[1:3]
-        else:
-            to_add = np.linspace(grid[to_split - 1], grid[to_split + 1], 4)[1:3]
+    `min_space` bounds the smallest window (guards against zooming to a
+    degenerate interval); `max_refinements` bounds the rounds.
+    """
+    lo, hi = float(x_min), float(x_max)
+    for _ in range(min(int(max_refinements), 64)):
+        grid = np.linspace(lo, hi, ngrid)
+        dens = np.asarray(likelihood(grid), dtype=float)
+        total = dens.sum()
+        if not np.isfinite(total) or total <= 0:
+            break
+        cdf = np.cumsum(dens) / total
+        ilo = int(np.searchsorted(cdf, tol / 2))
+        ihi = int(np.searchsorted(cdf, 1 - tol / 2))
+        new_lo = grid[max(ilo - 1, 0)]
+        new_hi = grid[min(ihi + 1, ngrid - 1)]
+        if new_hi - new_lo < min_space:
+            mid = 0.5 * (new_lo + new_hi)
+            new_lo, new_hi = mid - min_space / 2, mid + min_space / 2
+        # converged when the window no longer shrinks appreciably
+        if (new_hi - new_lo) > 0.95 * (hi - lo):
+            lo, hi = new_lo, new_hi
+            break
+        lo, hi = new_lo, new_hi
 
-        if to_remove == 0:
-            lower = grid[to_remove] + min_space
-        elif to_remove == ngrid - 1:
-            upper = grid[to_remove] - min_space
-
-        grid = np.delete(grid, [to_remove, to_split])
-        if to_remove > to_split:
-            to_split -= 1
-        to_split = min(to_split, len(grid))
-        grid = np.insert(grid, to_split, to_add)
-        probs = likelihood(grid)
-        probs = probs / probs.sum()
-
-    mu = (probs * grid).sum()
-    sigma = np.sqrt((probs * (grid - mu) ** 2).sum())
+    grid = np.linspace(lo, hi, ngrid)
+    dens = np.asarray(likelihood(grid), dtype=float)
+    # trapezoid weights on the uniform grid (half-weight endpoints)
+    w = np.ones(ngrid)
+    w[0] = w[-1] = 0.5
+    p = dens * w
+    Z = p.sum()
+    if not np.isfinite(Z) or Z <= 0:
+        return 0.5 * (lo + hi), (hi - lo) / np.sqrt(12.0)
+    p = p / Z
+    mu = float((p * grid).sum())
+    sigma = float(np.sqrt((p * (grid - mu) ** 2).sum()))
     return mu, sigma
 
 

@@ -45,6 +45,11 @@ def _load():
     lib.fmf_nnls_batch.argtypes = [c_dp, ctypes.c_long, ctypes.c_long, c_dp,
                                    ctypes.c_long, c_dp]
     lib.fmf_nnls_batch.restype = ctypes.c_int
+    lib.fmf_nnls_gram.argtypes = [c_dp, c_dp, ctypes.c_long, c_dp]
+    lib.fmf_nnls_gram.restype = ctypes.c_int
+    lib.fmf_nnls_gram_batch.argtypes = [c_dp, c_dp, ctypes.c_long,
+                                        ctypes.c_long, c_dp]
+    lib.fmf_nnls_gram_batch.restype = ctypes.c_int
     return lib
 
 
@@ -98,6 +103,33 @@ def nnls_batch(A, B):
     rc = _lib.fmf_nnls_batch(_ptr(A), m, n, _ptr(B), nb, _ptr(X))
     if rc < 0:
         raise RuntimeError(f"fmf_nnls_batch failed: {rc}")
+    return X
+
+
+def nnls_gram(G, f):
+    """Gram-form NNLS: argmin_{x>=0} 1/2 x'Gx - f'x for one (n, n) Gram."""
+    G = np.ascontiguousarray(G, dtype=np.float64)
+    f = np.ascontiguousarray(f, dtype=np.float64)
+    n = f.shape[0]
+    x = np.zeros(n)
+    rc = _lib.fmf_nnls_gram(_ptr(G), _ptr(f), n, _ptr(x))
+    if rc < 0:
+        raise RuntimeError(f"fmf_nnls_gram failed: {rc}")
+    return x
+
+
+def nnls_gram_batch(G, F):
+    """Batched Gram-form NNLS: G (nb, n, n), F (nb, n) -> X (nb, n).
+
+    The tensor-NMF inner solver: masked per-cell least squares reduce to
+    k x k Grams assembled by one einsum (utils/nmf.py)."""
+    G = np.ascontiguousarray(G, dtype=np.float64)
+    F = np.ascontiguousarray(F, dtype=np.float64)
+    nb, n = F.shape
+    X = np.zeros((nb, n))
+    rc = _lib.fmf_nnls_gram_batch(_ptr(G), _ptr(F), n, nb, _ptr(X))
+    if rc < 0:
+        raise RuntimeError(f"fmf_nnls_gram_batch failed: {rc}")
     return X
 
 

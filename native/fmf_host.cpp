@@ -117,23 +117,13 @@ int solve_passive(const double* G, const double* rhs, const long* p, long np,
 
 }  // namespace
 
-// Lawson-Hanson nonnegative least squares: min ||A x - b||, x >= 0.
-// A is m x n row-major. Writes x (length n). Returns 0 on success,
-// >0 = iteration limit reached (x still usable), <0 = error.
-int fmf_nnls(const double* A, long m, long n, const double* b, double* x) {
-    if (m <= 0 || n <= 0) return -2;
-    // normal-equation precomputation: G = A^T A, f = A^T b
-    std::vector<double> G(n * n, 0.0), f(n, 0.0);
-    for (long i = 0; i < m; ++i) {
-        const double* Ai = A + i * n;
-        for (long a = 0; a < n; ++a) {
-            f[a] += Ai[a] * b[i];
-            for (long c = a; c < n; ++c) G[a * n + c] += Ai[a] * Ai[c];
-        }
-    }
-    for (long a = 0; a < n; ++a)
-        for (long c = 0; c < a; ++c) G[a * n + c] = G[c * n + a];
-
+// Gram-form Lawson-Hanson NNLS: min 1/2 x^T G x - f^T x, x >= 0, with
+// G = A^T A and f = A^T b precomputed by the caller. This is the natural
+// entry point for masked least squares (G = A^T diag(mask) A assembled by
+// one einsum) — the design matrix never materializes. Writes x (length n).
+// Returns 0 on success, >0 = iteration limit (x usable), <0 = error.
+int fmf_nnls_gram(const double* G, const double* f, long n, double* x) {
+    if (n <= 0) return -2;
     std::vector<char> passive(n, 0);
     std::vector<long> p;
     std::vector<double> w(n), z(n);
@@ -162,7 +152,7 @@ int fmf_nnls(const double* A, long m, long n, const double* b, double* x) {
         // inner loop: restricted LS with positivity restoration
         for (long inner = 0; inner < max_outer; ++inner) {
             long np = (long)p.size();
-            if (solve_passive(G.data(), f.data(), p.data(), np, n, z.data()) != 0)
+            if (solve_passive(G, f, p.data(), np, n, z.data()) != 0)
                 return -3;
             bool all_pos = true;
             for (long i = 0; i < np; ++i)
@@ -197,15 +187,64 @@ int fmf_nnls(const double* A, long m, long n, const double* b, double* x) {
     return 1;  // iteration limit
 }
 
-// Batched NNLS: nb independent problems sharing the same design A
-// (m x n); B is nb x m row-major, X is nb x n. Used by the tensor-NMF
-// V-step, which solves one NNLS per (column, depth) cell against the same
-// replicated W design (reference utils.py:349-366).
-int fmf_nnls_batch(const double* A, long m, long n, const double* B, long nb,
-                   double* X) {
+// Dense-design Lawson-Hanson NNLS: min ||A x - b||, x >= 0.
+// A is m x n row-major. Forms the normal equations then defers to the
+// Gram-form solver.
+int fmf_nnls(const double* A, long m, long n, const double* b, double* x) {
+    if (m <= 0 || n <= 0) return -2;
+    std::vector<double> G(n * n, 0.0), f(n, 0.0);
+    for (long i = 0; i < m; ++i) {
+        const double* Ai = A + i * n;
+        for (long a = 0; a < n; ++a) {
+            f[a] += Ai[a] * b[i];
+            for (long c = a; c < n; ++c) G[a * n + c] += Ai[a] * Ai[c];
+        }
+    }
+    for (long a = 0; a < n; ++a)
+        for (long c = 0; c < a; ++c) G[a * n + c] = G[c * n + a];
+    return fmf_nnls_gram(G.data(), f.data(), n, x);
+}
+
+// Batched Gram-form NNLS: nb independent problems, G nb x n x n and
+// F nb x n row-major, X nb x n. This is the tensor-NMF inner solver: the
+// masked per-(row) / per-(column, depth) least-squares problems reduce to
+// k x k Grams assembled host-side in one einsum, so each solve is O(k^3)
+// instead of O(m k^2) with a materialized design.
+int fmf_nnls_gram_batch(const double* G, const double* F, long n, long nb,
+                        double* X) {
     int rc = 0;
     for (long i = 0; i < nb; ++i) {
-        int r = fmf_nnls(A, m, n, B + i * m, X + i * n);
+        int r = fmf_nnls_gram(G + i * n * n, F + i * n, n, X + i * n);
+        if (r < 0) return r;
+        rc |= r;
+    }
+    return rc;
+}
+
+// Batched NNLS: nb independent problems sharing the same design A
+// (m x n); B is nb x m row-major, X is nb x n.
+int fmf_nnls_batch(const double* A, long m, long n, const double* B, long nb,
+                   double* X) {
+    // shared design => shared Gram; per-problem rhs f = A^T b_i
+    if (m <= 0 || n <= 0) return -2;
+    std::vector<double> G(n * n, 0.0);
+    for (long i = 0; i < m; ++i) {
+        const double* Ai = A + i * n;
+        for (long a = 0; a < n; ++a)
+            for (long c = a; c < n; ++c) G[a * n + c] += Ai[a] * Ai[c];
+    }
+    for (long a = 0; a < n; ++a)
+        for (long c = 0; c < a; ++c) G[a * n + c] = G[c * n + a];
+    int rc = 0;
+    std::vector<double> f(n);
+    for (long i = 0; i < nb; ++i) {
+        const double* bi = B + i * m;
+        for (long a = 0; a < n; ++a) {
+            double s = 0.0;
+            for (long r = 0; r < m; ++r) s += A[r * n + a] * bi[r];
+            f[a] = s;
+        }
+        int r = fmf_nnls_gram(G.data(), f.data(), n, X + i * n);
         if (r < 0) return r;
         rc |= r;
     }

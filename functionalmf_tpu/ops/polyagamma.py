@@ -34,11 +34,18 @@ _TWO_PI_SQ = 2.0 * jnp.pi**2
 
 
 def _tanh_half_over(c):
-    """tanh(c/2) / c with the c -> 0 limit (= 1/2) handled."""
+    """tanh(c/2) / c with the c -> 0 limit (= 1/2) handled.
+
+    The series branch is wide (|c/2| < 0.05): TPU transcendentals carry a
+    few hundred ulp of error, so a tight cutoff leaves a band where the
+    direct ratio is much less accurate than the series.
+    """
     x = 0.5 * c
-    small = jnp.abs(x) < 1e-4
+    x2 = x * x
+    small = jnp.abs(x) < 0.05
     safe = jnp.where(small, 1.0, x)
-    ratio = jnp.where(small, 1.0 - x * x / 3.0, jnp.tanh(safe) / safe)
+    ratio = jnp.where(small, 1.0 - x2 / 3.0 + 2.0 * x2 * x2 / 15.0,
+                      jnp.tanh(safe) / safe)
     return 0.5 * ratio
 
 
@@ -50,13 +57,23 @@ def pg_mean(b, c):
 def pg_var(b, c):
     """Var[PG(b, c)] = b / (4 c^3) (sinh(c) - c) sech^2(c / 2).
 
-    Uses a series for small c (limit b/24).
+    sinh(c) - c cancels catastrophically for small |c| — in f32 the naive
+    form loses ALL significant bits below |c| ~ 0.01 and on TPU (whose
+    transcendentals carry a few hundred ulp of error) it can even go
+    NEGATIVE, which poisoned the Binomial/NegBinom normal-approximation
+    branch with sqrt(<0) = NaN and silently froze whole chains behind the
+    nan_guard. Use the series (sinh c - c)/c^3 = (1/6)(1 + c^2/20 +
+    c^4/840 + ...) on a wide |c| < 0.5 window (truncation error < 3e-7
+    relative there), and clamp the result nonnegative.
     """
     c = jnp.asarray(c, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    small = jnp.abs(c) < 1e-3
+    c2 = c * c
+    small = jnp.abs(c) < 0.5
     safe = jnp.where(small, 1.0, c)
-    v = (jnp.sinh(safe) - safe) / (4.0 * safe**3) / jnp.cosh(safe / 2.0) ** 2
-    return b * jnp.where(small, 1.0 / 24.0, v)
+    series = (1.0 + c2 / 20.0 + c2 * c2 / 840.0) / 24.0
+    direct = (jnp.sinh(safe) - safe) / (4.0 * safe**3)
+    v = jnp.where(small, series, direct) / jnp.cosh(c / 2.0) ** 2
+    return jnp.maximum(b * v, 0.0)
 
 
 def polya_gamma(key, b, c, num_terms: int = 16, use_mt: bool = True,

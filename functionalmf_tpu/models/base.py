@@ -46,16 +46,18 @@ from functionalmf_tpu.samplers.conjugate import ConjugateInverseGammaPrior
 __all__ = ["BayesianTensorFiltering", "tril_mask", "packed_w_len"]
 
 
-def tril_mask(nrows: int, nembeds: int, dtype=jnp.float32):
+def tril_mask(nrows: int, nembeds: int, dtype=np.float32):
     """Structural mask of the lower-triangular-identified W (factor.py:155-174).
 
     mask[i, a] = 1 iff embedding a is active for row i, i.e. a <= i. Rows
     i >= nembeds are fully dense. Replaces the reference's ragged
-    pack/unpack with fixed-shape masking.
+    pack/unpack with fixed-shape masking. Returned as host numpy: it is a
+    trace-time constant, and eager device constants cost one tunnel RPC
+    per op on the single-chip TPU.
     """
     i = np.arange(nrows)[:, None]
     a = np.arange(nembeds)[None, :]
-    return jnp.asarray((a <= i).astype(np.float32)).astype(dtype)
+    return (a <= i).astype(np.float32)
 
 
 def packed_w_len(nrows: int, nembeds: int) -> int:
@@ -114,8 +116,9 @@ class BayesianTensorFiltering:
         )
 
         # Trend filtering prior (factor.py:50), dense: nD x ndepth.
+        # Host numpy: embedded as a jaxpr constant where traced code uses it.
         self.Delta_np = bayes_grid_penalty(ndepth, tf_order)
-        self.Delta = jnp.asarray(self.Delta_np, dtype=dtype)
+        self.Delta = np.asarray(self.Delta_np, dtype=np.float32)
         self.nD = self.Delta_np.shape[0]
 
         self.sigma2_a = sigma2_a
@@ -309,7 +312,7 @@ class BayesianTensorFiltering:
     def _v_prior_precision(self, lam2, Tau2):
         """kron(I_k, D^T Lam_j D) dense: (ncols, kT, kT) (factor.py:176-194)."""
         DtLD = self._v_prior_dtld(lam2, Tau2)
-        I_k = jnp.eye(self.nembeds, dtype=self.dtype)
+        I_k = np.eye(self.nembeds, dtype=np.float32)
         kT = self.nembeds * self.ndepth
         Q = jnp.einsum("ab,jts->jatbs", I_k, DtLD)
         return Q.reshape(self.ncols, kT, kT)
@@ -405,13 +408,21 @@ class BayesianTensorFiltering:
     # ------------------------------------------------------------------
     def _save_checkpoint(self, path, state, offset, burn_done, collected,
                          chunks_out):
+        """Write the chain head (state + counters) atomically, and each
+        collected sample chunk to its own write-once file. Chunks are
+        immutable after collection, so a run of N chunks does O(N) total
+        checkpoint IO (round 1 rewrote every chunk at every boundary:
+        O(N^2) and unbounded npz growth — VERDICT.md Weak #8)."""
+        for ci, chunk in enumerate(chunks_out):
+            cpath = f"{path}.chunk{ci}.npz"
+            if not os.path.exists(cpath):
+                tmp = cpath + ".tmp.npz"
+                np.savez(tmp, **{k: np.asarray(v) for k, v in chunk.items()})
+                os.replace(tmp, cpath)
         payload = {"__offset": offset, "__burn_done": burn_done,
                    "__collected": collected, "__nchunks_out": len(chunks_out)}
         for k, v in state.items():
             payload["state__" + k] = np.asarray(jax.device_get(v))
-        for ci, chunk in enumerate(chunks_out):
-            for k, v in chunk.items():
-                payload[f"out{ci}__{k}"] = np.asarray(v)
         tmp = path + ".tmp.npz"
         np.savez(tmp, **payload)
         os.replace(tmp, path)
@@ -426,9 +437,14 @@ class BayesianTensorFiltering:
                  for k in z.files if k.startswith("state__")}
         chunks_out = []
         for ci in range(nchunks):
-            pre = f"out{ci}__"
-            chunks_out.append({k[len(pre):]: z[k] for k in z.files
-                               if k.startswith(pre)})
+            cpath = f"{path}.chunk{ci}.npz"
+            if os.path.exists(cpath):
+                with np.load(cpath) as cz:
+                    chunks_out.append({k: cz[k] for k in cz.files})
+            else:  # legacy monolithic checkpoint (round-1 format)
+                pre = f"out{ci}__"
+                chunks_out.append({k[len(pre):]: z[k] for k in z.files
+                                   if k.startswith(pre)})
         return state, offset, burn_done, collected, chunks_out
 
     def mark_data_dirty(self):

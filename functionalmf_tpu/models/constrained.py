@@ -87,8 +87,12 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
 
         Constraints = np.asarray(Constraints, dtype=np.float32)
         self._CA_np = Constraints[:, :-1]  # host copy for static block masks
-        self.Constraints_A = jnp.asarray(Constraints[:, :-1], self.dtype)  # (J, T)
-        self.Constraints_C = jnp.asarray(Constraints[:, -1], self.dtype)   # (J,)
+        # host numpy, embedded as jaxpr constants at trace time: eager
+        # device ops on concrete values during tracing cost one tunnel RPC
+        # each on the single-chip TPU (~0.3s apiece), and the blocked V
+        # update slices these once per time block per trace
+        self.Constraints_A = Constraints[:, :-1]                 # (J, T)
+        self.Constraints_C = Constraints[:, -1]                  # (J,)
         self.nconstraints = int(Constraints.shape[0])
 
         # Row_constraints live in the state dict so they are *traced* inputs:
@@ -104,8 +108,9 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         if ep_approx is None:
             self.Mu_ep, self.Sigma_ep = None, None
         else:
-            self.Mu_ep = jnp.asarray(np.asarray(ep_approx[0], np.float32), self.dtype)
-            self.Sigma_ep = jnp.asarray(np.asarray(ep_approx[1], np.float32), self.dtype)
+            # host numpy (trace-time constants), same rationale as above
+            self.Mu_ep = np.asarray(ep_approx[0], np.float32)
+            self.Sigma_ep = np.asarray(ep_approx[1], np.float32)
             # An overconfident EP traps the chain: the subtracted EP logpdf
             # grows quadratically with distance from Mu_ep, so once an
             # excursion leaves the EP bulk, every candidate nearer the
@@ -171,21 +176,24 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         _hp = jax.lax.Precision.HIGHEST
         A_base = jnp.einsum("jt,mta->mja", CA, V,
                             precision=_hp).reshape(m * self.nconstraints, k)
-        c_base = jnp.tile(CC, m)
+        c_base = np.tile(np.asarray(CC), m)  # trace-time host constant
         if self._has_row_constraints:
             RC = state["Row_constraints"]
             A_base = jnp.concatenate([A_base, RC[:, :k]], axis=0)
-            c_base = jnp.concatenate([c_base, RC[:, k]], axis=0)
+            c_base = jnp.concatenate([jnp.asarray(c_base), RC[:, k]], axis=0)
 
         mask = self._wmask  # (n, k)
-        eye = jnp.eye(k, dtype=self.dtype)
+        eye = np.eye(k, dtype=np.float32)
 
         # Proposal Gaussian: EP-centered GLS or the isotropic prior
-        # (factor.py:677-687).
+        # (factor.py:677-687). EP tensors go to device once here (they are
+        # indexed by traced row ids inside the vmap below).
         if self.Mu_ep is not None:
-            Sinv2 = 1.0 / (self.Sigma_ep ** 2)
-            Sinv2 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, Sinv2)
-            Mu0 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, self.Mu_ep)
+            Mu_ep_d = jnp.asarray(self.Mu_ep, self.dtype)
+            Sigma_ep_d = jnp.asarray(self.Sigma_ep, self.dtype)
+            Sinv2 = 1.0 / (Sigma_ep_d ** 2)
+            Sinv2 = jnp.where(jnp.isnan(Mu_ep_d), 0.0, Sinv2)
+            Mu0 = jnp.where(jnp.isnan(Mu_ep_d), 0.0, Mu_ep_d)
             # HIGHEST: the proposal Gaussian must match the EP factor that
             # the acceptance divides out analytically (_ep_logpdf)
             Q = (jnp.einsum("imt,mta,mtb->iab", Sinv2, V, V, precision=_hp)
@@ -207,7 +215,8 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         data_c = data
         user_ll = self.loglikelihood
         has_ep = self.Mu_ep is not None
-        Mu_ep, Sigma_ep = self.Mu_ep, self.Sigma_ep
+        Mu_ep = Mu_ep_d if has_ep else None
+        Sigma_ep = Sigma_ep_d if has_ep else None
 
         def row_gass(i, w_i, dmask, mu_i, v_i, k_i):
             A_i = A_base * dmask[None, :]
@@ -229,8 +238,8 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                             dim_mask=dmask, v=v_i)
             return x_new
 
-        keys = jax.vmap(lambda i: _fold(key, 1, i))(jnp.arange(n, dtype=jnp.uint32))
-        W_new = jax.vmap(row_gass)(jnp.arange(n), state["W"], mask, mu_all,
+        keys = jax.vmap(lambda i: _fold(key, 1, i))(np.arange(n, dtype=np.uint32))
+        W_new = jax.vmap(row_gass)(np.arange(n), state["W"], mask, mu_all,
                                    v_all, keys)
         return dict(state, W=(W_new * mask).astype(self.dtype))
 
@@ -272,11 +281,14 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])  # (m, T, T)
         _hp0 = jax.lax.Precision.HIGHEST
         if self.Mu_ep is not None:
+            # EP tensors to device once (indexed by traced column ids below)
+            Mu_ep_d = jnp.asarray(self.Mu_ep, self.dtype)
+            Sigma_ep_d = jnp.asarray(self.Sigma_ep, self.dtype)
             # HIGHEST: the proposal Gaussian must match the EP factor that
             # the acceptance divides out analytically (_ep_logpdf)
-            Sinv2 = 1.0 / (self.Sigma_ep ** 2)
-            Sinv2 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, Sinv2)
-            Mu0 = jnp.where(jnp.isnan(self.Mu_ep), 0.0, self.Mu_ep)
+            Sinv2 = 1.0 / (Sigma_ep_d ** 2)
+            Sinv2 = jnp.where(jnp.isnan(Mu_ep_d), 0.0, Sinv2)
+            Mu0 = jnp.where(jnp.isnan(Mu_ep_d), 0.0, Mu_ep_d)
             G = jnp.einsum("ijt,ia,ib->jtab", Sinv2, W, W,
                            precision=_hp0)                       # (m, T, k, k)
             mu_part = jnp.einsum("ijt,ia->jta", Mu0 * Sinv2, W,
@@ -289,7 +301,8 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         user_ll = self.loglikelihood
         user_ll_blk = self.loglikelihood_block
         has_ep = self.Mu_ep is not None
-        Mu_ep, Sigma_ep = self.Mu_ep, self.Sigma_ep
+        Mu_ep = Mu_ep_d if has_ep else None
+        Sigma_ep = Sigma_ep_d if has_ep else None
 
         bs = self.v_block_size or T
         X = state["V"]  # (m, T, k)
@@ -313,9 +326,9 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                 # coupled (size*k) system: kron-embed DtLD_blk, add the EP
                 # Gram on the t-diagonal (t-major packing)
                 Qd = jnp.einsum("mts,ab->mtasb", DtLD_blk,
-                                jnp.eye(k, dtype=self.dtype), precision=_hp)
+                                np.eye(k, dtype=np.float32), precision=_hp)
                 Qd = Qd + jnp.einsum("mtab,ts->mtasb", G[:, s0:e0],
-                                     jnp.eye(size, dtype=self.dtype),
+                                     np.eye(size, dtype=np.float32),
                                      precision=_hp)
                 Qbb = Qd.reshape(m, size * k, size * k)
                 rhs = rhs_tk.reshape(m, size * k)
@@ -353,11 +366,13 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
             if len(rel) == 0:
                 # one trivially satisfied row keeps static shapes non-empty
                 A_op = lambda y: jnp.zeros((1,), self.dtype)  # noqa: E731
-                c_cols = jnp.full((m, 1), -1.0, self.dtype)
+                c_cols = np.full((m, 1), -1.0, np.float32)
             else:
-                rel_j = jnp.asarray(rel)
-                CA_blk = CA[rel_j][:, s0:e0]                # (J_rel, size)
-                CA_out = CA[rel_j].at[:, s0:e0].set(0.0)    # (J_rel, T)
+                # host-side constant slicing (CA/CC are numpy): no eager
+                # device ops per block per trace
+                CA_blk = CA[rel][:, s0:e0]                  # (J_rel, size)
+                CA_out = CA[rel].copy()                     # (J_rel, T)
+                CA_out[:, s0:e0] = 0.0
 
                 def A_op(y):  # (size*k,) -> (n*J_rel,)
                     M = jnp.dot(CA_blk, y.reshape(size, k), precision=_hp)
@@ -368,7 +383,7 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                                      precision=_hp)        # (m, n, T)
                 frozen = jnp.einsum("mnt,jt->mnj", tau_out, CA_out,
                                     precision=_hp)
-                c_cols = (CC[rel_j][None, None, :] - frozen).reshape(
+                c_cols = (CC[rel][None, None, :] - frozen).reshape(
                     m, n * len(rel))
 
             def make_col_gass(A_op, s0, e0, size):
@@ -420,10 +435,10 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                 return col_gass
 
             keys = jax.vmap(lambda j: _fold(key, 3, bi, j))(
-                jnp.arange(m, dtype=jnp.uint32))
+                np.arange(m, dtype=np.uint32))
             col_gass = make_col_gass(A_op, s0, e0, size)
             Xb = jax.vmap(col_gass)(
-                jnp.arange(m), X[:, s0:e0].reshape(m, size * k),
+                np.arange(m), X[:, s0:e0].reshape(m, size * k),
                 mu_b.reshape(m, size * k), v_b.reshape(m, size * k),
                 c_cols, X, keys)
             X = X.at[:, s0:e0].set(Xb.reshape(m, size, k))
@@ -446,12 +461,22 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         return float(self.loglikelihood(pdata, tau, W, V, row=None, col=None))
 
     def check_constraints(self, atol=1e-5):
-        """Host-side feasibility check of the current state (replaces the
-        reference's in-sampler assertion, gass.py:35)."""
+        """Host-side feasibility audit of the current state (replaces the
+        reference's in-sampler assertion, gass.py:35): every curve
+        constraint A tau >= c AND, when present, every row constraint
+        A_r w_i >= c_r (fit.py:116-118 semantics)."""
         W = self.W if self.nchains == 1 else self.W[0]
         V = self.V if self.nchains == 1 else self.V[0]
-        tau = np.einsum("nk,mtk->nmt", np.asarray(W), np.asarray(V))
+        W = np.asarray(W)
+        tau = np.einsum("nk,mtk->nmt", W, np.asarray(V))
         A = np.asarray(self.Constraints_A)
         c = np.asarray(self.Constraints_C)
         vals = np.einsum("jt,nmt->nmj", A, tau)
-        return float((vals - c[None, None, :]).min()) >= -atol
+        worst = float((vals - c[None, None, :]).min())
+        if self._has_row_constraints:
+            RC = np.asarray(self.Row_constraints)
+            if RC.ndim == 3:  # leading chain axis
+                RC = RC[0]
+            rvals = W @ RC[:, : self.nembeds].T - RC[None, :, self.nembeds]
+            worst = min(worst, float(rvals.min()))
+        return worst >= -atol

@@ -120,7 +120,7 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
         VV = (Vf[:, :, None] * Vf[:, None, :]).reshape(-1, k * k)
         Q_lik = (w8f @ VV).reshape(self.nrows, k, k)
         mask = self._wmask
-        eye = jnp.eye(k, dtype=self.dtype)
+        eye = np.eye(k, dtype=np.float32)  # trace-time host constant
         Q = Q_lik * mask[:, :, None] * mask[:, None, :] + eye / state["sigma2"]
         mu_part = (wyf @ Vf) * mask
         Wnew = sample_mvn_from_precision(key, Q, mu_part=mu_part,

@@ -22,6 +22,7 @@ d > t must be zero. All functions broadcast over leading batch dims.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -53,7 +54,7 @@ def build_v_bands(DtLD, G, p: int):
     """
     T = DtLD.shape[-1]
     k = G.shape[-1] if G is not None else 1
-    eye = jnp.eye(k, dtype=DtLD.dtype)
+    eye = np.eye(k, dtype=DtLD.dtype)
     cols = []
     for d in range(p + 1):
         diag = jnp.diagonal(DtLD, offset=-d, axis1=-2, axis2=-1)  # (..., T-d)
@@ -90,7 +91,7 @@ def slice_bands(bands, start: int, size: int):
     for d in range(1, p1):
         n_invalid = min(d, size)
         if n_invalid > 0:
-            mask = (jnp.arange(size) >= d).astype(bands.dtype)
+            mask = (np.arange(size) >= d).astype(bands.dtype)
             sub = sub.at[..., :, d, :, :].multiply(
                 mask[:, None, None])
     return sub
@@ -154,7 +155,7 @@ def block_banded_cholesky(bands, jitter: float = 0.0,
     L, repaired, gersh = _block_banded_cholesky_once(bands, jitter)
     if psd_attempts > 0:
         k = bands.shape[-1]
-        eyek = jnp.eye(k, dtype=bands.dtype)
+        eyek = np.eye(k, dtype=bands.dtype)
         # jitter is relative to the diagonal scale (callers equilibrate
         # first, so the diagonal is ~1); (*batch, 1, 1, 1) broadcasts
         # against the (*batch, T, k, k) diag slice
@@ -198,7 +199,7 @@ def _chol_pivot_guarded(S, rungs=(1e-2,)):
     conditional. Callers surface these counts (models/base.py run-health
     reporting) so repairs are never silent.
     """
-    eye = jnp.eye(S.shape[-1], dtype=S.dtype)
+    eye = np.eye(S.shape[-1], dtype=S.dtype)
     scale = jnp.mean(jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1)),
                      axis=-1)[..., None, None]
     scale = jnp.maximum(scale, 1e-30)
@@ -222,16 +223,16 @@ def _chol_pivot_guarded(S, rungs=(1e-2,)):
 def _block_banded_cholesky_once(bands, jitter=0.0):
     *batch, T, p1, k, _ = bands.shape
     p = p1 - 1
-    eyek = jnp.eye(k, dtype=bands.dtype)
+    eyek = np.eye(k, dtype=bands.dtype)
     # jitter may be a python float or a traced scalar (relative jitter)
     if not (isinstance(jitter, (int, float)) and jitter == 0):
         bands = bands.at[..., :, 0, :, :].add(jnp.asarray(jitter) * eyek)
 
     # window[r] = factor row (t-1-r), blocks d=0..p; virtual rows (t-1-r < 0)
     # hold identity diagonals so triangular solves are harmless no-ops.
-    init_window = jnp.broadcast_to(
-        eyek * (jnp.arange(p1) == 0)[:, None, None],
-        tuple(batch) + (p, p1, k, k)).astype(bands.dtype)
+    init_window = jnp.asarray(np.broadcast_to(
+        eyek * (np.arange(p1) == 0)[:, None, None],
+        tuple(batch) + (p, p1, k, k)).astype(bands.dtype))
 
     def step(window, B_t):
         # B_t: (..., p+1, k, k) = row t of the precision bands
@@ -338,12 +339,12 @@ def retile_bands(bands, B: int):
     assert B >= p, (B, p)
     T2 = -(-T // B)
     Tp = T2 * B
-    eye = jnp.eye(k, dtype=bands.dtype)
+    eye = np.eye(k, dtype=bands.dtype)
     pad_spec = [(0, 0)] * (bands.ndim - 4) + [(0, Tp - T), (0, 0), (0, 0), (0, 0)]
     bpad = jnp.pad(bands, pad_spec)
     if Tp > T:
         # identity diagonal blocks on the padded tail keep the factor finite
-        tail_mask = (jnp.arange(Tp) >= T).astype(bands.dtype)
+        tail_mask = (np.arange(Tp) >= T).astype(bands.dtype)
         bpad = bpad.at[..., :, 0, :, :].add(
             tail_mask[:, None, None] * eye)
     br = bpad.reshape(tuple(batch) + (T2, B, p1, k, k))
@@ -443,7 +444,7 @@ def equilibrate_bands(bands):
         # s_{t-d}: shift forward by d along T
         s_shift = jnp.roll(s, d, axis=-2)
         if d > 0:
-            mask = (jnp.arange(s.shape[-2]) >= d).astype(s.dtype)
+            mask = (np.arange(s.shape[-2]) >= d).astype(s.dtype)
             s_shift = s_shift * mask[..., :, None]
         scaled.append(bands[..., :, d, :, :] * s_t * s_shift[..., :, None, :])
     return jnp.stack(scaled, axis=-3), s

@@ -24,6 +24,7 @@ Semantics preserved from the reference:
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -47,7 +48,7 @@ def cholesky_psd(Q, eps: float = 1e-6, attempts: int = 4):
     L = jnp.linalg.cholesky(Q)
     if attempts <= 0:
         return L
-    eye = jnp.eye(Q.shape[-1], dtype=Q.dtype)
+    eye = np.eye(Q.shape[-1], dtype=Q.dtype)
 
     # Lazy retries: an unbatched scalar-predicate lax.cond skips the
     # refactorization on the all-finite path. NOTE: the skip applies only

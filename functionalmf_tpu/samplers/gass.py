@@ -22,6 +22,7 @@ the Kronecker-structured constraint matrix.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -112,7 +113,11 @@ def gass(key, x, sample_v, loglik, A, c, *, mu=None, cur_ll=None,
     theta_hi = jnp.where(has_interval,
                          jnp.min(jnp.where(interval, tmax, pi)) - eps, pi)
 
-    grid = theta_lo + (theta_hi - theta_lo) * jnp.linspace(0.0, 1.0, ngrid)
+    # np.linspace: a trace-time host constant — a jnp.linspace on concrete
+    # bounds would dispatch an eager op per trace, which is ~0.3s per RPC
+    # through the single-chip TPU tunnel
+    grid = theta_lo + (theta_hi - theta_lo) * np.linspace(
+        0.0, 1.0, ngrid, dtype=np.float32)
     cosg, sing = jnp.cos(grid), jnp.sin(grid)
 
     pts = (x0[None, :] * cosg[:, None] + v[None, :] * sing[:, None]

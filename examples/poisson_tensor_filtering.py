@@ -1,9 +1,10 @@
 """Constrained Poisson functional matrix factorization — the flagship example.
 
 Mirrors the reference examples/poisson_tensor_filtering.py:1-340: piecewise
-constant nonnegative truth; NMF / NB-BTF / constrained-Poisson-BTF model
-comparison on 8 metrics including posterior coverage; positivity (and
-optionally monotone) constraints enforced through GASS.
+constant nonnegative truth; NMF / PGDS(tau grid, optional apf) / NB-BTF /
+constrained-Poisson-BTF model comparison on 9 metrics including held-out
+NLL and posterior coverage; positivity (and optionally monotone)
+constraints enforced through GASS.
 
 Usage: python poisson_tensor_filtering.py <nembeds> <seed> [agg]
 """
@@ -95,9 +96,16 @@ def create_piecewise_constant(rng, break_prob=0.2, ndims=3):
     return W, V
 
 
+def _poisson_nll(Y, rate):
+    from scipy.stats import poisson as _poisson
+    with np.errstate(all="ignore"):
+        return -np.nansum(_poisson.logpmf(Y, np.clip(rate, 1e-10, None)))
+
+
 METRICS = [
     {"name": "MAE (held out)", "fun": lambda Y, Mu, pred, samples: mae(Y[:3, :3], pred[:3, :3, ..., None])},
     {"name": "RMSE (held out)", "fun": lambda Y, Mu, pred, samples: np.sqrt(mse(Y[:3, :3], pred[:3, :3, ..., None]))},
+    {"name": "NLL (held out)", "fun": lambda Y, Mu, pred, samples: _poisson_nll(Y[:3, :3], pred[:3, :3, ..., None])},
     {"name": "MAE (true rate)", "fun": lambda Y, Mu, pred, samples: mae(Mu, pred)},
     {"name": "RMSE (true rate)", "fun": lambda Y, Mu, pred, samples: np.sqrt(mse(Mu, pred))},
     {"name": "50% Coverage", "fun": lambda Y, Mu, pred, samples: coverage_at(Mu, samples, 50)},
@@ -119,16 +127,24 @@ def agg_results(models, metrics, nembeds_options=(2, 3, 5, 10),
     for ne in nembeds_options:
         print("d={}".format(ne))
         res = np.array(aggregate[ne]).mean(axis=0)
+        names = list(models)
+        if res.shape[1] < len(names):
+            # runs without the optional apf package skip the PGDS arms
+            names = [m for m in names if not m.startswith("PGDS")]
         print(("{:<18}" * (len(metrics) + 1)).format(
             *(["Model"] + [m["name"] for m in metrics])))
-        for i, m in enumerate(models):
+        for i, m in enumerate(names):
             print("{:<18}".format(m)
                   + "".join("{:<18.2f}".format(r) for r in res[:, i]))
 
 
+PGDS_TAUS = (0.25, 0.5, 1)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "agg":
-        agg_results(["NMF", "NB-BTF", "Poisson-BTF"], METRICS)
+        agg_results(["NMF"] + [f"PGDS tau={t}" for t in PGDS_TAUS]
+                    + ["NB-BTF", "Poisson-BTF"], METRICS)
         sys.exit(0)
     nembeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
@@ -150,6 +166,26 @@ if __name__ == "__main__":
     W_nmf, V_nmf = tensor_nmf(Y_missing, nembeds, rng=rng)
     Mu_nmf = (W_nmf[:, None, None] * V_nmf[None]).sum(axis=-1)
     models.append({"name": "NMF", "fit": Mu_nmf, "samples": Mu_nmf[None]})
+
+    # PGDS baseline arms over the reference's tau grid (poisson
+    # example:204-218), graceful-degrade when the optional apf package is
+    # absent (same pattern as apps/politics/benchmark.py)
+    try:
+        from functionalmf_tpu.pgds import fit_pgds
+        for tau in PGDS_TAUS:
+            print(f"Fitting PGDS k={nembeds} tau={tau}")
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", category=RuntimeWarning)
+                Mu_pgds, _ = fit_pgds(Y_missing.sum(axis=-1), nembeds,
+                                      nburn=nburn, nthin=nthin,
+                                      nsamples=nsamples, tau=tau, nthreads=1)
+            Mu_pgds = np.asarray(Mu_pgds)
+            models.append({"name": f"PGDS tau={tau}",
+                           "fit": Mu_pgds.mean(axis=0) / Y_missing.shape[-1],
+                           "samples": Mu_pgds})
+    except ImportError:
+        print("apf (PGDS) not installed; skipping the PGDS arms")
 
     # NB-BTF (poisson example:224-244)
     nb = NegativeBinomialBayesianTensorFiltering(

@@ -143,6 +143,12 @@ def init_model(Y, likelihood, args, X=None):
     EP_approx = ep_from_mf(Y, W, V, mode="multiplier", multiplier=3)
 
     fix_W = X is not None and not args.sample_features
+    nchains = int(getattr(args, "nchains", 1))
+    if nchains > 1 and args.sample_features:
+        # the U-resampling callback tracks a single shared U; per-chain U
+        # would need a chain axis through the likelihood closure
+        print("WARNING: --sample_features forces nchains=1")
+        nchains = 1
     model = ConstrainedNonconjugateBayesianTensorFiltering(
         Y.shape[0], Y.shape[1], Y.shape[2],
         loglikelihood, C,
@@ -150,6 +156,7 @@ def init_model(Y, likelihood, args, X=None):
         lam2_true=args.lam2, ep_approx=EP_approx,
         W_true=W if fix_W else None,
         Row_constraints=Row_constraints,
+        nchains=nchains,
         seed=args.seed)
     model.W = W
     model.V = V
@@ -240,6 +247,21 @@ def main(argv=None):
                               callback=callback)
     model.shutdown()
     Ws, Vs = results["W"], results["V"]
+
+    # multi-chain convergence check (the reference parses --nchains and
+    # never uses it, fit.py:237; chains are first-class here)
+    if model.nchains > 1:
+        from functionalmf_tpu.utils.diagnostics import split_rhat
+        C, S = model.nchains, args.nsamples
+        rng_r = np.random.default_rng(0)
+        rhats = []
+        for arr in (Ws, Vs):
+            flat = arr.reshape(C, S, -1)
+            idx = rng_r.choice(flat.shape[-1], size=min(64, flat.shape[-1]),
+                               replace=False)
+            rhats.extend(split_rhat(flat[:, :, j]) for j in idx)
+        print("split-R-hat over {} chains: max {:.4f} median {:.4f}".format(
+            C, float(np.max(rhats)), float(np.median(rhats))))
 
     Mu_hat = np.einsum("znk,zmtk->znmt", Ws, Vs)
     Mu_hat_mean = Mu_hat.mean(axis=0)

@@ -105,25 +105,32 @@ def test_sharded_equals_unsharded_constrained(rng):
 
     kwargs = dict(nembeds=k, tf_order=1, sigma2_init=0.5, lam2_init=0.1,
                   W_init=W0, V_init=V0, gass_ngrid=12, seed=5, nchains=2)
+    # Few-sweep window: GSPMD computes the same function, so over 1-2
+    # sweeps the draws must agree to float-reassociation precision. (Over
+    # many sweeps GASS's discrete arc picks chaotically amplify 1e-7
+    # reassociation noise into fully decorrelated elements — seed
+    # dependent — so a long-run comparison tests chaos, not partitioning.
+    # A real partitioning bug, e.g. a missing all-gather in the
+    # constraint assembly, corrupts the very first sweep, which this
+    # catches at tight tolerance.)
     ref = ConstrainedNonconjugateBayesianTensorFiltering(
         nrows, ncols, ndepth, poisson_loglik, Constraints, **kwargs)
-    res_ref = ref.run_gibbs(Y, nburn=5, nthin=1, nsamples=3, verbose=False)
+    res_ref = ref.run_gibbs(Y, nburn=1, nthin=1, nsamples=1, verbose=False)
 
     mesh = make_mesh(n_dp=2, n_mp=4)
     mod = ConstrainedNonconjugateBayesianTensorFiltering(
         nrows, ncols, ndepth, poisson_loglik, Constraints, mesh=mesh, **kwargs)
-    res_mesh = mod.run_gibbs(Y, nburn=5, nthin=1, nsamples=3, verbose=False)
+    res_mesh = mod.run_gibbs(Y, nburn=1, nthin=1, nsamples=1, verbose=False)
 
-    # GASS's slice-sampler arcs amplify float reassociation noise across
-    # sweeps, so a handful of elements drift at the 1e-3 level; a real
-    # partitioning bug (e.g. a missing all-gather in the constraint
-    # assembly) corrupts the bulk of the elements, which this catches.
     for key_ in ("W", "V"):
-        diff = np.abs(res_mesh[key_] - res_ref[key_])
-        scale = 1e-4 + 1e-2 * np.abs(res_ref[key_])
-        frac_close = float(np.mean(diff <= scale))
-        assert frac_close >= 0.9, (key_, frac_close, float(diff.max()))
+        np.testing.assert_allclose(res_mesh[key_], res_ref[key_],
+                                   rtol=1e-3, atol=1e-3, err_msg=key_)
         assert np.isfinite(res_mesh[key_]).all(), key_
+
+    # And a longer sharded run stays finite with sharding retained.
+    res_long = mod.run_gibbs(Y, nburn=5, nthin=1, nsamples=3, verbose=False)
+    assert np.isfinite(res_long["W"]).all() and np.isfinite(res_long["V"]).all()
+    assert "mp" in str(mod.state["W"].sharding.spec)
 
 
 def test_graft_entry_hooks():

@@ -205,7 +205,18 @@ class ReferenceCPUConstrainedPoisson:
 
 
 def main():
-    nsweeps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    import argparse
+    ap = argparse.ArgumentParser()
+    # >=30 sweeps for the headline denominator (VERDICT.md Weak #6: a
+    # 3-sweep measurement is too noisy for a published speedup)
+    ap.add_argument("nsweeps", nargs="?", type=int, default=30)
+    ap.add_argument("--ess-warm", type=int, default=0,
+                    help="warm-up sweeps before the ESS measurement")
+    ap.add_argument("--ess-draws", type=int, default=0,
+                    help="post-warm draws for min-ESS/sec (BASELINE.md's "
+                         "quality-adjusted denominator); 0 skips")
+    args = ap.parse_args()
+
     rng = np.random.default_rng(42)
     W = np.abs(rng.normal(1, 0.3, size=(NROWS, NEMBEDS)))
     V = np.abs(rng.normal(1, 0.3, size=(NCOLS, NDEPTH, NEMBEDS)))
@@ -216,20 +227,58 @@ def main():
     model = ReferenceCPUConstrainedPoisson(Y)
     model.sweep()  # warm caches
     t0 = time.time()
-    for _ in range(nsweeps):
+    for _ in range(args.nsweeps):
         model.sweep()
-    dt = (time.time() - t0) / nsweeps
+    dt = (time.time() - t0) / args.nsweeps
     single_core = 1.0 / dt
-    baseline = {
+
+    out = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
+    baseline = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            baseline = json.load(f)
+    baseline.update({
         "config": "constrained-poisson GDELT 19x19x228 k=5 tf_order=2 ngrid=100",
         "single_core_sweeps_per_sec": single_core,
         "nthreads_equivalent": NTHREADS,
         "sweeps_per_sec": single_core * NTHREADS,
+        "throughput_nsweeps": args.nsweeps,
         "note": ("numpy reimplementation of the reference algorithm; "
                  "sweeps_per_sec assumes perfect nthreads-way scaling of the "
                  "reference's process pool (generous to the reference)"),
-    }
-    out = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
+    })
+
+    if args.ess_draws > 0:
+        # Same warm-up discipline and estimator as bench.py: discard
+        # warm-up, collect post-warm draws, min Geyer ESS over the same
+        # parameter subsample.
+        from functionalmf_tpu.utils.diagnostics import min_ess_per_param
+        for _ in range(args.ess_warm):
+            model.sweep()
+        draws = {"W": [], "V": [], "lam2": [], "sigma2": []}
+        t0 = time.time()
+        for _ in range(args.ess_draws):
+            model.sweep()
+            draws["W"].append(model.W.copy())
+            draws["V"].append(model.V.copy())
+            draws["lam2"].append(model.lam2)
+            draws["sigma2"].append(model.sigma2)
+        dt_s = time.time() - t0
+        samples = {k: np.asarray(v) for k, v in draws.items()}
+        ess, k_slow, j_slow = min_ess_per_param(
+            samples, keys=("W", "V", "lam2", "sigma2"), max_params=128,
+            detail=True)
+        baseline.update({
+            "ess_warm": args.ess_warm,
+            "ess_draws": args.ess_draws,
+            "min_ess_per_sweep": ess / args.ess_draws,
+            "min_ess_per_sec_single_core": ess / dt_s,
+            # like sweeps/sec, credit the reference with perfect
+            # nthreads-way scaling
+            "min_ess_per_sec": (ess / dt_s) * NTHREADS,
+            "slowest_param": f"{k_slow}[{j_slow}]",
+        })
+
     with open(out, "w") as f:
         json.dump(baseline, f, indent=2)
     print(json.dumps(baseline))

@@ -44,11 +44,16 @@ def effective_sample_size(draws):
 
 
 def min_ess_per_param(samples_dict, keys=("W", "V", "lam2", "sigma2"),
-                      max_params: int = 512, rng=None):
+                      max_params: int = 512, rng=None, detail: bool = False):
     """Minimum ESS across (a subsample of) scalar parameters, the speed
-    denominator of BASELINE.md ("min-across-params ESS/sec")."""
+    denominator of BASELINE.md ("min-across-params ESS/sec").
+
+    With detail=True returns (min_ess, key, flat_index) identifying the
+    slowest-mixing parameter, so a pathological ESS number can be diagnosed
+    rather than just reported.
+    """
     rng = np.random.default_rng(0) if rng is None else rng
-    ess_min = np.inf
+    ess_min, argk, argj = np.inf, None, None
     for k in keys:
         if k not in samples_dict:
             continue
@@ -58,7 +63,11 @@ def min_ess_per_param(samples_dict, keys=("W", "V", "lam2", "sigma2"),
         idx = (np.arange(cols) if cols <= max_params
                else rng.choice(cols, size=max_params, replace=False))
         for j in idx:
-            ess_min = min(ess_min, effective_sample_size(flat[:, j]))
+            e = effective_sample_size(flat[:, j])
+            if e < ess_min:
+                ess_min, argk, argj = e, k, int(j)
+    if detail:
+        return float(ess_min), argk, argj
     return float(ess_min)
 
 

@@ -52,6 +52,19 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                  ep_approx=None,      # optional (Mu_ep, Sigma_ep) centering
                  nthreads=None,       # parity kwarg; parallelism is on-device
                  gass_ngrid=100,
+                 gass_w_repeats=1,    # GASS updates of W per sweep; >1
+                                      # multiplies W mixing at ~linear cost
+                                      # in the W block only (the W update
+                                      # is a small fraction of sweep time
+                                      # at functional shapes, bench/profile)
+                 gass_v_repeats=1,    # likewise for the V update
+                 gass_method="grid",  # "grid" = reference-parity kernel;
+                                      # "shrink" = Neal bracket shrinkage on
+                                      # the feasible arc (samplers/gass.py):
+                                      # always moves, step scale ~ the
+                                      # conditional width — use when the
+                                      # grid kernel's per-sweep movement
+                                      # collapses (tight data / wide prior)
                  Row_constraints=None,  # optional (nR, k+1) fixed [A | c]
                  multiprocessing=None,  # parity kwarg (unused)
                  sharedprefix=None,     # parity kwarg (unused)
@@ -82,6 +95,11 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         self.loglikelihood = loglikelihood
         self.loglikelihood_block = loglikelihood_block
         self.gass_ngrid = int(gass_ngrid)
+        self.gass_w_repeats = max(1, int(gass_w_repeats))
+        self.gass_v_repeats = max(1, int(gass_v_repeats))
+        if gass_method not in ("grid", "shrink"):
+            raise ValueError(f"unknown gass_method {gass_method!r}")
+        self.gass_method = gass_method
         self.v_block_size = (None if v_block_size is None
                              else int(v_block_size))
 
@@ -235,7 +253,8 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
 
             x_new, _ = gass(k_i, w_i, None, loglik, A_i, c_base,
                             mu=mu_i, ngrid=self.gass_ngrid,
-                            dim_mask=dmask, v=v_i)
+                            dim_mask=dmask, v=v_i,
+                            method=self.gass_method)
             return x_new
 
         keys = jax.vmap(lambda i: _fold(key, 1, i))(np.arange(n, dtype=np.uint32))
@@ -430,7 +449,8 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                         return jax.vmap(one)(tau, Vg)
 
                     xb_new, _ = gass(k_j, xb_j, None, loglik, A_op, c_j,
-                                     mu=mu_j, ngrid=self.gass_ngrid, v=v_j)
+                                     mu=mu_j, ngrid=self.gass_ngrid, v=v_j,
+                                     method=self.gass_method)
                     return xb_new
                 return col_gass
 
@@ -446,9 +466,20 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
 
     # ------------------------------------------------------------------
     def _make_sweep(self):
+        rW, rV = self.gass_w_repeats, self.gass_v_repeats
+
+        def update_W(state, pdata, key):
+            for r in range(rW):  # unrolls at trace time (small static count)
+                state = self._update_W_gass(state, pdata, _fold(key, 40 + r))
+            return state
+
+        def update_V(state, pdata, key):
+            for r in range(rV):
+                state = self._update_V_gass(state, pdata, _fold(key, 60 + r))
+            return state
+
         def sweep(state, pdata, key):
-            return self._prior_sweep(state, pdata, key,
-                                     self._update_W_gass, self._update_V_gass)
+            return self._prior_sweep(state, pdata, key, update_W, update_V)
         return sweep
 
     # ------------------------------------------------------------------
@@ -464,19 +495,44 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         """Host-side feasibility audit of the current state (replaces the
         reference's in-sampler assertion, gass.py:35): every curve
         constraint A tau >= c AND, when present, every row constraint
-        A_r w_i >= c_r (fit.py:116-118 semantics)."""
-        W = self.W if self.nchains == 1 else self.W[0]
-        V = self.V if self.nchains == 1 else self.V[0]
-        W = np.asarray(W)
-        tau = np.einsum("nk,mtk->nmt", W, np.asarray(V))
+        A_r w_i >= c_r (fit.py:116-118 semantics), across ALL chains."""
+        return self._worst_constraint_slack() >= -atol
+
+    def _worst_constraint_slack(self):
+        """min over chains/cells/constraints of (A tau - c), i.e. the most
+        violated constraint margin of the current state (negative =
+        infeasible)."""
+        W = np.asarray(self.W)
+        V = np.asarray(self.V)
+        if W.ndim == 2:  # normalize to a leading chain axis
+            W, V = W[None], V[None]
+        tau = np.einsum("cnk,cmtk->cnmt", W, V)
         A = np.asarray(self.Constraints_A)
         c = np.asarray(self.Constraints_C)
-        vals = np.einsum("jt,nmt->nmj", A, tau)
-        worst = float((vals - c[None, None, :]).min())
+        vals = np.einsum("jt,cnmt->cnmj", A, tau)
+        worst = float((vals - c).min())
         if self._has_row_constraints:
             RC = np.asarray(self.Row_constraints)
             if RC.ndim == 3:  # leading chain axis
                 RC = RC[0]
-            rvals = W @ RC[:, : self.nembeds].T - RC[None, :, self.nembeds]
+            rvals = (np.einsum("cnk,jk->cnj", W, RC[:, : self.nembeds])
+                     - RC[:, self.nembeds])
             worst = min(worst, float(rvals.min()))
-        return worst >= -atol
+        return worst
+
+    def run_gibbs(self, data, *args, **kwargs):
+        """Refuse to sample from an infeasible start. GASS is only a valid
+        transition kernel from a feasible point (the reference asserts this
+        inside the sampler, gass.py:35; its examples guarantee it via NMF
+        warm starts). From an infeasible state our stay-put fallback would
+        silently freeze W/V at the bad init instead."""
+        worst = self._worst_constraint_slack()
+        if worst < -1e-5:
+            raise ValueError(
+                "Initial state violates the constraints (worst margin "
+                f"A@tau - c = {worst:.3e}). GASS requires a feasible "
+                "starting point (reference gass.py:35). Pass feasible "
+                "W_init/V_init — e.g. a nonnegative warm start from "
+                "functionalmf_tpu.utils.nmf.tensor_nmf, as the reference "
+                "examples do.")
+        return super().run_gibbs(data, *args, **kwargs)

@@ -30,7 +30,8 @@ __all__ = ["gass"]
 
 
 def gass(key, x, sample_v, loglik, A, c, *, mu=None, cur_ll=None,
-         ngrid: int = 100, dim_mask=None, eps: float = 1e-6, v=None):
+         ngrid: int = 100, dim_mask=None, eps: float = 1e-6, v=None,
+         method: str = "grid", max_shrink: int = 30):
     """One GASS update. Returns (x_new, ll_new).
 
     Args:
@@ -53,6 +54,21 @@ def gass(key, x, sample_v, loglik, A, c, *, mu=None, cur_ll=None,
       ngrid: number of grid points (factor.py:901 default 100).
       v: optional precomputed proposal draw (D,); overrides sample_v. Use
         this under vmap, where per-item sampler closures cannot vary.
+      method: "grid" = the reference's kernel (fixed ngrid candidates over
+        the feasible arc, uniform pick above the slice, stay-put fallback,
+        gass.py:108-128). "shrink" = Neal (2003) bracket shrinkage on the
+        same arc: draw theta ~ U(bracket), reject-and-shrink toward the
+        current point until a feasible above-slice point is found. The
+        grid kernel's move probability per update is ~ngrid * |acceptable
+        region| / |arc|, which collapses when the conditional posterior is
+        much narrower than the proposal ellipse (tight data, wide prior) —
+        the chain stays put almost every sweep. Shrinkage always moves,
+        with step scale ~ the conditional width, at ~log2(arc/width)
+        sequential single-point likelihood calls. Validity: the initial
+        bracket is ellipse-intrinsic (constraint-arc endpoints), so the
+        shrinkage procedure is reversible exactly as in Neal 2003 §4.1 /
+        Murray et al. 2010; infeasible candidates reject like ll = -inf.
+      max_shrink: iteration bound for the shrink loop (2^-30 of the arc).
     """
     x = jnp.asarray(x)
     if mu is None:
@@ -113,6 +129,13 @@ def gass(key, x, sample_v, loglik, A, c, *, mu=None, cur_ll=None,
     theta_hi = jnp.where(has_interval,
                          jnp.min(jnp.where(interval, tmax, pi)) - eps, pi)
 
+    if method == "shrink":
+        return _gass_shrink(k_pick, x, x0, v, mu, Af, c, loglik, h, cur_ll,
+                            theta_lo, theta_hi, has_interval, dim_mask,
+                            max_shrink)
+    if method != "grid":
+        raise ValueError(f"unknown gass method {method!r}")
+
     # np.linspace: a trace-time host constant — a jnp.linspace on concrete
     # bounds would dispatch an eager op per trace, which is ~0.3s per RPC
     # through the single-chip TPU tunnel
@@ -145,4 +168,51 @@ def gass(key, x, sample_v, loglik, A, c, *, mu=None, cur_ll=None,
 
     x_new = jnp.where(any_ok, pts[idx], x)
     ll_new = jnp.where(any_ok, ll[idx], cur_ll)
+    return x_new, ll_new
+
+
+def _gass_shrink(key, x, x0, v, mu, Af, c, loglik, h, cur_ll,
+                 theta_lo, theta_hi, has_interval, dim_mask, max_shrink):
+    """Neal-shrinkage slice step on the feasible arc.
+
+    With interval constraints the bracket endpoints are ellipse-intrinsic
+    (the constraint boundaries), widened to contain theta=0 (the current
+    point, feasible up to the arc eps). Without any interval constraint the
+    arc is the full circle, where a deterministic [-pi, pi] window is NOT
+    reversible (it is parameterization-relative); use the standard ESS
+    randomized wrap [phi - 2pi, phi], phi ~ U(0, 2pi)
+    (elliptical_slice.py:95-98 semantics).
+    """
+    k_wrap, k_loop = jax.random.split(key)
+    phi = jax.random.uniform(k_wrap) * (2.0 * jnp.pi)
+    lo = jnp.where(has_interval, jnp.minimum(theta_lo, 0.0), phi - 2.0 * jnp.pi)
+    hi = jnp.where(has_interval, jnp.maximum(theta_hi, 0.0), phi)
+
+    def propose(th):
+        xp = x0 * jnp.cos(th) + v * jnp.sin(th) + mu
+        if dim_mask is not None:
+            xp = xp * dim_mask
+        return xp
+
+    def cond(carry):
+        _, _, _, _, done, it = carry
+        return (~done) & (it < max_shrink)
+
+    def body(carry):
+        lo, hi, xc, llc, done, it = carry
+        u = jax.random.uniform(jax.random.fold_in(k_loop, it))
+        th = lo + u * (hi - lo)
+        xp = propose(th)
+        llp = loglik(xp[None])[0]
+        # feasibility is part of the slice: infeasible == ll -inf
+        feas = jnp.all(Af(xp) >= c)
+        acc = feas & (llp >= h) & jnp.isfinite(llp)
+        lo = jnp.where(~acc & (th < 0), th, lo)
+        hi = jnp.where(~acc & (th >= 0), th, hi)
+        xc = jnp.where(acc, xp, xc)
+        llc = jnp.where(acc, llp, llc)
+        return (lo, hi, xc, llc, acc, it + 1)
+
+    init = (lo, hi, x, cur_ll, jnp.asarray(False), jnp.asarray(0))
+    _, _, x_new, ll_new, _, _ = jax.lax.while_loop(cond, body, init)
     return x_new, ll_new

@@ -335,3 +335,40 @@ def test_feasibility_invariant_every_draw(rng):
                        np.asarray(res["W"], np.float64),
                        np.asarray(res["V"], np.float64))
     assert Mu_hat.min() >= -1e-5, Mu_hat.min()
+
+
+def test_gass_repeats_mix_faster(rng):
+    """gass_w_repeats/gass_v_repeats run extra GASS updates per sweep:
+    draws stay feasible and per-sweep movement increases."""
+    import jax.numpy as jnp
+    from jax.scipy.special import gammaln
+
+    n, m, T, k = 6, 5, 12, 2
+
+    def loglik(Y, WV, W, V, row=None, col=None):
+        if row is not None:
+            Y = Y[row]
+        if col is not None:
+            Y = Y[:, col]
+        rate = jnp.clip(WV, 1e-8, None)
+        return jnp.sum(Y * jnp.log(rate) - rate - gammaln(Y + 1.0))
+
+    W0 = np.abs(rng.normal(1, 0.2, size=(n, k)))
+    W0[np.triu_indices(k, k=1)] = 0
+    V0 = np.abs(rng.normal(1, 0.2, size=(m, T, k)))
+    Y = rng.poisson(np.einsum("nk,mtk->nmt", W0, V0)).astype(float)
+    C = np.concatenate([np.eye(T), np.zeros((T, 1))], axis=1)
+
+    common = dict(nembeds=k, tf_order=1, sigma2_init=0.5, lam2_init=0.1,
+                  W_init=W0, V_init=V0, gass_ngrid=16, seed=2)
+    moves = {}
+    for reps in (1, 3):
+        mod = ConstrainedNonconjugateBayesianTensorFiltering(
+            n, m, T, loglik, C, gass_w_repeats=reps, gass_v_repeats=reps,
+            **common)
+        res = mod.run_gibbs(Y, nburn=0, nthin=1, nsamples=12, verbose=False)
+        assert np.isfinite(res["W"]).all() and np.isfinite(res["V"]).all()
+        assert np.einsum("znk,zmtk->znmt", res["W"], res["V"]).min() >= -1e-5
+        dW = np.abs(np.diff(res["W"], axis=0)).mean()
+        moves[reps] = dW
+    assert moves[3] > moves[1] * 1.15, moves

@@ -4,6 +4,7 @@ gass.py:326-395 and the benchmarks() harness)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import stats
 
 from functionalmf_tpu.samplers.ess import elliptical_slice
@@ -57,9 +58,10 @@ def test_ess_with_mean_offset(key):
     np.testing.assert_allclose(xs.var(), 1.0, rtol=0.15)
 
 
-def test_gass_truncated_normal(key):
+@pytest.mark.parametrize("method", ["grid", "shrink"])
+def test_gass_truncated_normal(key, method):
     # x ~ N(0, 1) truncated to x >= 0.5, flat likelihood.
-    # GASS must sample the truncated prior.
+    # GASS must sample the truncated prior (with either kernel).
     A = jnp.asarray([[1.0]])
     c = jnp.asarray([0.5])
 
@@ -69,7 +71,7 @@ def test_gass_truncated_normal(key):
     def step(k, x, ll):
         k1, k2 = jax.random.split(k)
         return gass(k2, x, lambda kk: jax.random.normal(kk, (1,)), loglik, A, c,
-                    cur_ll=ll)
+                    cur_ll=ll, method=method)
 
     def chain(k):
         def body(carry, i):
@@ -87,7 +89,8 @@ def test_gass_truncated_normal(key):
     np.testing.assert_allclose(xs.std(), tn.std(), rtol=0.12)
 
 
-def test_gass_monotone_gp(key):
+@pytest.mark.parametrize("method", ["grid", "shrink"])
+def test_gass_monotone_gp(key, method):
     """The reference's standalone demo (gass.py:326-395) at reduced scale:
     monotone-decreasing curve in [0.1, 1] bounds, iid normal likelihood."""
     T, nobs = 6, 5
@@ -117,7 +120,7 @@ def test_gass_monotone_gp(key):
             x, ll = carry
             x, ll = gass(jax.random.fold_in(k, i), x,
                          lambda kk: jax.random.normal(kk, (T,)),
-                         loglik, A, c, mu=mu_prior, cur_ll=ll)
+                         loglik, A, c, mu=mu_prior, cur_ll=ll, method=method)
             return (x, ll), x
         (_, _), xs = jax.lax.scan(body, (x0, loglik(x0[None])[0]), jnp.arange(4000))
         return xs

@@ -39,6 +39,7 @@ def test_cholesky_matches_dense(rng, tf_order):
         np.testing.assert_allclose(Ld[j] @ Ld[j].T, Q[j], rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_solves_match_dense(rng):
     DtLD, G, p = _make_system(rng, T=14, k=3)
     bands = build_v_bands(DtLD, G, p)
@@ -79,6 +80,7 @@ def test_sampling_moments(rng, key):
     np.testing.assert_allclose(np.cov(X.T), cov_ref, atol=6 * sd.max()**2 / np.sqrt(4000) + 1e-3)
 
 
+@pytest.mark.slow
 def test_conditional_block_draw(rng, key):
     """The blocked-V GASS machinery (models/constrained.py) relies on the
     conditional N(Q_bb^-1 (mu_b - Q_br x_r), Q_bb^-1) computed from band
@@ -121,6 +123,7 @@ def test_conditional_block_draw(rng, key):
                                atol=8 * np.abs(cov_ref).max() / np.sqrt(20000))
 
 
+@pytest.mark.slow
 def test_retiled_sampler_matches_dense(rng, key):
     """Super-block retiling is the same matrix: solve/sampling moments must
     match the dense reference, including non-divisible T (padding)."""

@@ -1,6 +1,7 @@
 """End-to-end recovery tests for the PG-augmented models, mirroring
 examples/binomial_tensor_filtering.py and examples/negbinom_tensor_filtering.py
 at reduced scale."""
+import pytest
 import numpy as np
 
 from functionalmf_tpu import (
@@ -20,6 +21,7 @@ def _truth(rng, nrows, ncols, ndepth, nembeds, scale=1.0):
     return W, V, np.einsum("nk,mtk->nmt", W, V)
 
 
+@pytest.mark.slow
 def test_binomial_recovery(rng):
     nrows, ncols, ndepth, nembeds, nrep = 8, 6, 10, 2, 20
     W, V, Mu = _truth(rng, nrows, ncols, ndepth, nembeds)
@@ -45,6 +47,7 @@ def test_binomial_recovery(rng):
     assert res["nu2"].shape == (500, nrows, ncols, ndepth)
 
 
+@pytest.mark.slow
 def test_negbinom_recovery(rng):
     nrows, ncols, ndepth, nembeds, nrep = 8, 6, 8, 2, 4
     # gamma-Poisson truth with logit link on P (negbinom example:44-64)
@@ -80,6 +83,7 @@ def test_negbinom_recovery(rng):
     assert np.all(np.asarray(res["R"]) > 1.0)  # r_min gate preserved
 
 
+@pytest.mark.slow
 def test_negbinom_r_fixed(rng):
     Y = rng.poisson(3.0, size=(4, 3, 5)).astype(float)
     R_true = np.full((1, 1, 1), 2.5)

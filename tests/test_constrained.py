@@ -1,6 +1,7 @@
 """Constrained/nonconjugate model tests: the reference's flagship Poisson
 path (examples/poisson_tensor_filtering.py) at reduced scale, plus the
 unconstrained ESS model."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,7 @@ def _piecewise_truth(rng, ndims=2):
     return W, V
 
 
+@pytest.mark.slow
 def test_constrained_poisson(rng):
     nembeds = 2
     W_true, V_true = _piecewise_truth(rng, nembeds)
@@ -76,6 +78,7 @@ def test_constrained_poisson(rng):
     assert ho_rmse < 1.0 * scale, (ho_rmse, scale)
 
 
+@pytest.mark.slow
 def test_constrained_monotone(rng):
     """Positivity + monotone-decreasing constraints (poisson example:44-47):
     every posterior draw must be monotone in depth."""
@@ -106,6 +109,7 @@ def test_constrained_monotone(rng):
     assert diffs.min() >= -1e-2 - 1e-4, diffs.min()
 
 
+@pytest.mark.slow
 def test_constrained_row_constraints(rng):
     """Fixed Row_constraints are honored (factor.py:722-724): W entries
     bounded above elementwise."""
@@ -128,6 +132,7 @@ def test_constrained_row_constraints(rng):
     assert res["W"].max() <= 2.0 + 1e-5, res["W"].max()
 
 
+@pytest.mark.slow
 def test_blocked_v_update_posterior(rng):
     """Multi-block V GASS must target the same posterior as the joint
     update: with a Gaussian likelihood and non-binding constraints the V
@@ -178,6 +183,7 @@ def test_blocked_v_update_posterior(rng):
         assert np.all(err < 0.5 * sd + 0.05), (j, err / sd)
 
 
+@pytest.mark.slow
 def test_ep_centering_posterior_invariance(rng):
     """EP centering recenters the GASS proposal but divides itself back out
     of the likelihood (factor.py:677-683, 754-756): posterior means with and
@@ -253,6 +259,7 @@ def test_nonconjugate_ess_exact_posterior(rng):
         assert np.all(Ws[:, i, nd:] == 0)
 
 
+@pytest.mark.slow
 def test_block_loglikelihood_equivalence(rng):
     """The depth-decomposable `loglikelihood_block` fast path must target the
     same posterior as the full likelihood: out-of-block terms are constant
@@ -294,6 +301,7 @@ def test_block_loglikelihood_equivalence(rng):
         assert np.sqrt(((mu_hat - Mu) ** 2).mean()) < 0.5 * scale
 
 
+@pytest.mark.slow
 def test_feasibility_invariant_every_draw(rng):
     """Every stored draw must satisfy the constraints. Regression test for a
     precision bug: the W-update constraint matrix A_w = CA (x) V built with
@@ -337,6 +345,7 @@ def test_feasibility_invariant_every_draw(rng):
     assert Mu_hat.min() >= -1e-5, Mu_hat.min()
 
 
+@pytest.mark.slow
 def test_gass_repeats_mix_faster(rng):
     """gass_w_repeats/gass_v_repeats run extra GASS updates per sweep:
     draws stay feasible and per-sweep movement increases."""

@@ -1,4 +1,5 @@
 """ESS / R-hat diagnostics and checkpoint-resume tests."""
+import pytest
 import numpy as np
 
 from functionalmf_tpu.utils.diagnostics import (
@@ -40,6 +41,7 @@ def test_split_rhat(rng):
     assert split_rhat(bad) > 1.5
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(rng, tmp_path):
     from functionalmf_tpu import GaussianBayesianTensorFiltering
     Y = rng.normal(size=(4, 3, 5))

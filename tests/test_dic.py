@@ -1,9 +1,11 @@
 """DIC hyperparameter selection (genlasso.py:69-136 semantics)."""
+import pytest
 import numpy as np
 
 from functionalmf_tpu import GaussianBayesianTensorFiltering
 
 
+@pytest.mark.slow
 def test_select_hyperparams_dic(rng):
     nrows, ncols, ndepth, k = 5, 4, 6, 2
     W = rng.normal(size=(nrows, k))

@@ -90,6 +90,7 @@ def test_v_conditional_posterior_mean(rng):
         np.testing.assert_array_less(np.abs(Vs[:, j].mean(0) - mu_V), se)
 
 
+@pytest.mark.slow
 def test_end_to_end_recovery(rng):
     nrows, ncols, ndepth, nembeds, nu2 = 8, 6, 10, 2, 0.5
     W, V, Mu, Y = _make_data(rng, nrows, ncols, ndepth, nembeds, nu2, nrep=3)
@@ -120,6 +121,7 @@ def test_end_to_end_recovery(rng):
     assert res["Tau2"].shape[1:] == (ncols, model_nd(ndepth))
 
 
+@pytest.mark.slow
 def test_heteroskedastic_nu2(rng):
     """Fixed per-cell observation variances (factor.py:343-346, 388-391):
     high-noise cells should shrink harder toward the prior."""
@@ -146,6 +148,7 @@ def test_heteroskedastic_nu2(rng):
                                         nu2_init=nu2, seed=0)
 
 
+@pytest.mark.slow
 def test_multichain_shapes(rng):
     _, _, _, Y = _make_data(rng, 4, 3, 5, 2)
     model = GaussianBayesianTensorFiltering(4, 3, 5, nembeds=2, nchains=3, seed=1)
@@ -156,6 +159,7 @@ def test_multichain_shapes(rng):
     assert not np.allclose(res["W"][0], res["W"][5])
 
 
+@pytest.mark.slow
 def test_callback_path(rng):
     _, _, _, Y = _make_data(rng, 4, 3, 5, 2)
     model = GaussianBayesianTensorFiltering(4, 3, 5, nembeds=2, seed=1)
@@ -166,6 +170,7 @@ def test_callback_path(rng):
     assert res["W"].shape == (3, 4, 2)
 
 
+@pytest.mark.slow
 def test_nu2_row_mode_recovery(rng):
     """nu2_mode='row' (framework extension): per-row observation variances
     are recovered; scalar mode is the reference-parity default."""

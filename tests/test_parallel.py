@@ -14,6 +14,7 @@ def test_mesh_construction():
     assert mesh.devices.shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_sharded_multichain_gaussian(rng):
     """Chains sharded over dp, rows/cols over mp: one jitted sweep must
     produce the same distribution family of results as unsharded."""
@@ -29,6 +30,7 @@ def test_sharded_multichain_gaussian(rng):
     assert np.isfinite(res["W"]).all() and np.isfinite(res["V"]).all()
 
 
+@pytest.mark.slow
 def test_shard_state_specs(rng):
     from functionalmf_tpu import GaussianBayesianTensorFiltering
     mesh = make_mesh(n_dp=2, n_mp=4)
@@ -44,6 +46,7 @@ def test_shard_state_specs(rng):
     assert "mp" in str(sharded["W"].sharding.spec)
 
 
+@pytest.mark.slow
 def test_indivisible_dims_fall_back_to_replication():
     """GDELT-like odd sizes (19 rows) over mp=4 must not error."""
     from functionalmf_tpu import GaussianBayesianTensorFiltering
@@ -54,6 +57,7 @@ def test_indivisible_dims_fall_back_to_replication():
     assert "mp" not in str(sharded["W"].sharding.spec)
 
 
+@pytest.mark.slow
 def test_sharded_equals_unsharded_gaussian(rng):
     """The (dp, mp)-sharded run must produce the same draws as the
     unsharded run for identical keys — GSPMD computes the same function,
@@ -79,6 +83,7 @@ def test_sharded_equals_unsharded_gaussian(rng):
     assert "mp" in str(mod.state["W"].sharding.spec)
 
 
+@pytest.mark.slow
 def test_sharded_equals_unsharded_constrained(rng):
     """Same equivalence for the flagship constrained model (GASS path,
     all-of-V constraint assembly crossing the mp shards)."""
@@ -133,6 +138,7 @@ def test_sharded_equals_unsharded_constrained(rng):
     assert "mp" in str(mod.state["W"].sharding.spec)
 
 
+@pytest.mark.slow
 def test_graft_entry_hooks():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

@@ -5,6 +5,7 @@ import pytest
 mpl = pytest.importorskip("matplotlib")
 
 
+@pytest.mark.slow
 def test_plot_embeddings(tmp_path, rng):
     from functionalmf_tpu.apps.doseresponse.plots import plot_embeddings
     Ws = rng.normal(size=(10, 6, 3))

@@ -165,6 +165,7 @@ def test_gass_stay_put_when_infeasible_slice(key):
     np.testing.assert_allclose(np.asarray(x_new), [1.0])
 
 
+@pytest.mark.slow
 def test_gass_callable_operator(key):
     """gass() with a factorized constraint operator must produce exactly the
     same draw as the dense matrix (the V updates pass A = CA (x) W as two

@@ -22,6 +22,13 @@ import time
 
 import numpy as np
 
+# Platform must be forced via jax.config BEFORE the first backend touch
+# (plain env JAX_PLATFORMS is not honored in this image); FMF_PLATFORM=cpu
+# runs the matrix on CPU when the TPU tunnel is busy/unavailable.
+if os.environ.get("FMF_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["FMF_PLATFORM"])
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from examples.poisson_tensor_filtering import (  # noqa: E402
     create_piecewise_constant, init_model, setup_sampler,
@@ -52,7 +59,8 @@ def run_cell(seed, nembeds, nburn, nthin, nsamples, **model_kwargs):
         "nan_fallbacks": float(np.asarray(res.get("nan_fallbacks", 0)).sum()),
     }
     for q in (50, 75, 90, 95):
-        out[f"cov{q}"] = round(100 * coverage_at(Mu, Mu_hat, q), 1)
+        # coverage_at already returns percent (utils/metrics.py:43)
+        out[f"cov{q}"] = round(coverage_at(Mu, Mu_hat, q), 1)
     return out
 
 

@@ -381,3 +381,37 @@ def test_gass_repeats_mix_faster(rng):
         dW = np.abs(np.diff(res["W"], axis=0)).mean()
         moves[reps] = dW
     assert moves[3] > moves[1] * 1.15, moves
+
+
+@pytest.mark.slow
+def test_shrink_matches_grid_posterior(rng):
+    """Model-level kernel equivalence: the shrink and grid GASS kernels are
+    both valid transition kernels for the same stationary distribution, so
+    long-run posterior means of Mu = W V^T must agree (catches integration
+    bugs in the blocked-V operator path that sampler-level tests miss)."""
+    nembeds = 2
+    W_true, V_true = _piecewise_truth(rng, nembeds)
+    Mu = np.einsum("nk,mtk->nmt", W_true, V_true)
+    Y = rng.poisson(Mu).astype(float)
+    Constraints = np.concatenate([np.eye(NDEPTH), np.zeros((NDEPTH, 1))],
+                                 axis=1)
+    W0 = np.abs(rng.normal(1.0, 0.2, size=(NROWS, nembeds)))
+    W0[np.triu_indices(nembeds, k=1)] = 0
+    V0 = np.abs(rng.normal(1.0, 0.2, size=(NCOLS, NDEPTH, nembeds)))
+
+    est = {}
+    for method in ("grid", "shrink"):
+        mod = ConstrainedNonconjugateBayesianTensorFiltering(
+            NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
+            nembeds=nembeds, tf_order=1, sigma2_init=0.5, lam2_init=0.1,
+            W_init=W0, V_init=V0, gass_ngrid=24, seed=5, gass_method=method)
+        res = mod.run_gibbs(Y, nburn=600, nthin=2, nsamples=400,
+                            verbose=False)
+        Mu_hat = np.einsum("znk,zmtk->znmt", res["W"], res["V"])
+        assert Mu_hat.min() >= -1e-5
+        est[method] = Mu_hat.mean(0)
+
+    # same posterior up to MC error: mean absolute difference well under
+    # the data scale
+    mad = np.abs(est["grid"] - est["shrink"]).mean()
+    assert mad < 0.25 * Mu.std(), (mad, Mu.std())

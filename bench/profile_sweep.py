@@ -82,23 +82,40 @@ def build(blocked: bool):
 
 
 def time_sweep(model, Y, nreps=50):
-    """ms per single fused sweep (jit of the per-chain sweep)."""
+    """ms per single fused sweep (jit of the per-chain sweep).
+
+    Synchronization trap (round 2 finding): on the tunneled `axon` TPU
+    backend, jax.block_until_ready can return while enqueued executions
+    are still draining, which makes dispatch-loop timings look 10-100x
+    faster than the device's sustained rate (this produced round 1's
+    impossible profile numbers: 308% HBM utilization and a negative
+    ablation delta). Only materializing a value derived from the final
+    state (device_get) reliably waits for the whole dependency chain, so
+    every timed pass below ends with jax.device_get of the carried state.
+    Cross-checked against a 2048-sweep lax.fori_loop inside ONE compiled
+    executable (no dispatch involved): 4.94 ms/sweep vs 4.96 ms/sweep
+    dispatched — the constructs agree once synchronization is real
+    (bench/loop_experiment.py).
+    """
     pdata = model.prepare_data(Y)
     sweep = jax.jit(model._make_sweep())
-    state = {k: v[0] for k, v in model.state.items()}
+    state0 = {k: v[0] for k, v in model.state.items()}
     key = jax.random.PRNGKey(0)
+    # precompute the key schedule: eager fold_in per step costs ~0.3 ms of
+    # host time, which would otherwise be attributed to the sweep
+    keys = [jax.random.fold_in(key, i) for i in range(nreps)]
+    jax.device_get(keys[-1])
     t0 = time.time()
-    out = sweep(state, pdata, key)
-    jax.block_until_ready(out)
+    out = sweep(state0, pdata, keys[0])
+    jax.device_get(out["W"])
     compile_s = time.time() - t0
-    # two timed passes, keep the min: single-pass sub-ms timings through
-    # the device tunnel are noisy enough to flip ablation signs
     best = np.inf
     for rep in range(2):
+        state = state0
         t0 = time.time()
         for i in range(nreps):
-            state = sweep(state, pdata, jax.random.fold_in(key, i))
-        jax.block_until_ready(state)
+            state = sweep(state, pdata, keys[i])
+        jax.device_get(state)  # real sync: materialize the final state
         best = min(best, (time.time() - t0) / nreps * 1e3)
     return best, compile_s, sweep, (state, pdata, key)
 
@@ -106,9 +123,8 @@ def time_sweep(model, Y, nreps=50):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", action="store_true")
-    ap.add_argument("--nreps", type=int, default=300,
-                    help="sweeps per timing; sub-ms sweeps need hundreds "
-                         "of reps for stable ablation deltas")
+    ap.add_argument("--nreps", type=int, default=128,
+                    help="sweeps per timing pass (two passes, min kept)")
     args = ap.parse_args()
 
     out = {"config": f"GDELT {NROWS}x{NCOLS}x{NDEPTH} k={NEMBEDS} ngrid=100"}
@@ -155,7 +171,7 @@ def main():
             s = state
             for i in range(10):
                 s = sweep(s, pdata, jax.random.fold_in(key, i))
-            jax.block_until_ready(s)
+            jax.device_get(s["W"])
         out["trace_dir"] = "/tmp/fmf_trace"
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

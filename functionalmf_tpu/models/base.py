@@ -523,6 +523,23 @@ class BayesianTensorFiltering:
     # progress reporting and checkpoint boundaries.
     max_sweeps_per_call = 1024
 
+    def _batched_sweep(self, sweep):
+        """sweep over the leading chain axis: vmap for nchains > 1, a free
+        squeeze/unsqueeze for a single chain. Measured on the bench chip
+        (GDELT shape, identical keys, fori-chunk timing): the vmapped
+        1-chain sweep costs ~+60% (3.38 -> 5.34 ms/sweep) because batched
+        lowering turns the lax.cond retry ladders (ops/mvn.py:56,
+        ops/banded.py:151) into execute-both-branches selects and rewrites
+        gathers; tracing the sweep unbatched restores the lazy retries.
+        Draw streams are unchanged: both paths apply the same sweep to the
+        same per-chain key (vmap(f)(k[None]) == f(k)[None])."""
+        if self.nchains == 1 and self.mesh is None:
+            def vsweep(st, pdata, keys):
+                out = sweep({k: v[0] for k, v in st.items()}, pdata, keys[0])
+                return {k: v[None] for k, v in out.items()}
+            return vsweep
+        return jax.vmap(sweep, in_axes=(0, None, 0))
+
     def _get_compiled_chunks(self, nthin, burn_chunk_size, sample_chunk):
         """Jitted (burn_chunk, sample_chunk) executables, cached per
         (sample flags, nchains, nthin, chunk sizes). The chunk offset is a
@@ -536,7 +553,7 @@ class BayesianTensorFiltering:
             return cache[ckey]
 
         sweep = self._make_sweep()
-        vsweep = jax.vmap(sweep, in_axes=(0, None, 0))
+        vsweep = self._batched_sweep(sweep)
         collect_keys = self._collect_keys
         nchains = self.nchains
 
@@ -592,7 +609,7 @@ class BayesianTensorFiltering:
             key = _fold(self._base_key, 0x515B5)
         pdata = self.prepare_data(data)
         sweep = self._make_sweep()
-        vsweep = jax.vmap(sweep, in_axes=(0, None, 0))
+        vsweep = self._batched_sweep(sweep)
 
         def step_keys(step):
             base = _fold(key, step)

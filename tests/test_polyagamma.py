@@ -76,3 +76,92 @@ def test_pg_jit_vmap(key):
     out = f(key, jnp.ones((4, 5)), jnp.zeros((4, 5)))
     assert out.shape == (4, 5)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+# ---------------------------------------------------------------------------
+# Distributional (KS) validation against an exact Devroye sampler
+# (VERDICT round-2 item 3). Ground truth: tests/pg_exact.py, the
+# alternating-series rejection sampler of Polson/Scott/Windle 2013 — the
+# same construction as the reference's native pypolyagamma
+# (reference functionalmf/factor.py:458-460). All seeds fixed:
+# deterministic, no flake.
+# ---------------------------------------------------------------------------
+from scipy.stats import ks_2samp  # noqa: E402
+
+from tests.pg_exact import exact_pg1, exact_pg  # noqa: E402
+
+
+def _ks_assert(ours, exact, n_eff, slack=1.0):
+    """Assert the two samples agree distributionally: D below the
+    alpha=1e-3 two-sample critical value times `slack`."""
+    d = ks_2samp(ours, exact).statistic
+    crit = 1.949 * np.sqrt(2.0 / n_eff)  # c(1e-3) = sqrt(-ln(5e-4)/2)
+    assert d < slack * crit, (d, crit)
+
+
+@pytest.mark.parametrize("c", [0.1, 1.0, 3.0, 8.0])
+def test_pg_ks_exact_b1(c):
+    """Whole-distribution agreement of the gamma-sum sampler at b=1 (the
+    documented variance deficit at num_terms=16 is ~1e-4 relative — far
+    below the KS resolution at this N)."""
+    n = 20000
+    rng = np.random.default_rng(7)
+    exact = exact_pg1(rng, c, n)
+    ours = np.asarray(polya_gamma(jax.random.PRNGKey(3), jnp.ones(n),
+                                  jnp.full((n,), c)))
+    _ks_assert(ours, exact, n)
+
+
+def test_pg_ks_exact_b4():
+    """Integer b: PG(4, 1.5) vs the sum of 4 exact PG(1, 1.5) draws."""
+    n = 20000
+    rng = np.random.default_rng(11)
+    exact = exact_pg(rng, 4, 1.5, n)
+    ours = np.asarray(polya_gamma(jax.random.PRNGKey(5), jnp.full((n,), 4.0),
+                                  jnp.full((n,), 1.5)))
+    _ks_assert(ours, exact, n)
+
+
+def test_pg_ks_fractional_b():
+    """Fractional b (used by the NB model with aggregated pseudo-counts):
+    PG(2.5, 1) via the gamma-sum convolution vs exact PG(2, 1) + PG(0.5, 1)
+    has no exact ground truth at b=0.5, so check b=2 + b=0.5 additivity
+    instead: PG(2.5, c) =d PG(2, c) + PG(0.5, c) by construction of the
+    family. Draw both sides from OUR sampler with independent keys — this
+    verifies the convolution property the augmentation relies on."""
+    n = 20000
+    c = 1.0
+    lhs = np.asarray(polya_gamma(jax.random.PRNGKey(8), jnp.full((n,), 2.5),
+                                 jnp.full((n,), c)))
+    a = np.asarray(polya_gamma(jax.random.PRNGKey(9), jnp.full((n,), 2.0),
+                               jnp.full((n,), c)))
+    b = np.asarray(polya_gamma(jax.random.PRNGKey(10), jnp.full((n,), 0.5),
+                               jnp.full((n,), c)))
+    _ks_assert(lhs, a + b, n)
+
+
+@pytest.mark.slow
+def test_pg_ks_normal_branch_b500():
+    """The politics regime (factor.py:553 makes b = sum(Y + R), data max
+    461): b=500 routes through the moment-matched normal branch. Ground
+    truth: sums of 500 exact PG(1, c) draws. The CLT skew at b=500 is
+    O(b^-1/2) ~ 0.045, well below the KS critical value at this N."""
+    n = 4000
+    rng = np.random.default_rng(13)
+    for c in (0.5, 2.0):
+        exact = exact_pg(rng, 500, c, n)
+        ours = np.asarray(polya_gamma(jax.random.PRNGKey(17),
+                                      jnp.full((n,), 500.0),
+                                      jnp.full((n,), c)))
+        _ks_assert(ours, exact, n)
+
+
+def test_exact_sampler_self_moments():
+    """The ground-truth sampler itself must match the closed-form moments
+    (guards the test harness, not the library)."""
+    rng = np.random.default_rng(21)
+    for c in (0.0, 1.0, 4.0):
+        d = exact_pg1(rng, c, 100000)
+        m, v = float(pg_mean(1.0, c)), float(pg_var(1.0, c))
+        assert abs(d.mean() - m) < 4.5 * np.sqrt(v / len(d))
+        assert abs(d.var() - v) < 0.02 * v

@@ -28,15 +28,52 @@ ICI by XLA's SPMD partitioner. V itself never moves.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "state_shardings", "shard_state", "specs_to_shardings",
-           "DP_AXIS", "MP_AXIS"]
+           "init_distributed", "make_global_array", "DP_AXIS", "MP_AXIS"]
 
 DP_AXIS = "dp"
 MP_AXIS = "mp"
+
+
+def init_distributed(coordinator_address: str, num_processes: int,
+                     process_id: int, cpu_collectives: str = "gloo") -> None:
+    """Initialize the multi-host (DCN) runtime (SURVEY.md §5: the
+    multi-host analog of the reference's process fan-out,
+    factor.py:984-1000, rides jax.distributed over DCN — no custom
+    transport, XLA collectives handle the dense regular updates).
+
+    Call before any backend touch, once per process. On TPU pods the
+    coordinator address is provisioned by the launcher; on CPU test
+    fixtures (bench/dryrun_multihost.py) it is localhost:port and the
+    cross-process collectives use the gloo backend.
+    """
+    # NOTE: must not touch the backend here (jax.default_backend() would
+    # initialize it and initialize() then refuses); consult config only
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in str(platforms):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              cpu_collectives)
+        except Exception:
+            pass  # older/newer flag name; gloo is the default where absent
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_global_array(value, sharding):
+    """Materialize a process-local numpy value (identical on every process)
+    as a globally sharded jax.Array. The multi-process replacement for
+    jax.device_put, which cannot place cross-process shardings."""
+    value = np.asarray(value)
+    return jax.make_array_from_callback(value.shape, sharding,
+                                        lambda idx: value[idx])
 
 
 def make_mesh(n_dp: int = 1, n_mp: int | None = None, devices=None) -> Mesh:

@@ -59,13 +59,12 @@ def make_loglikelihood(likelihood, with_features: bool):
     return with_X
 
 
-def make_u_step(args, X, U_samples):
-    """Per-step GASS resampling of the feature embeddings U
-    (reference fit.py:113-144), vmapped over feature columns."""
+def _make_u_all(X):
+    """GASS resampling of the feature embeddings U given W (reference
+    fit.py:113-144), vmapped over feature columns. jax-traceable."""
     Xj = jnp.asarray(np.where(np.isnan(X), 0.0, X), jnp.float32)
     Xmask = jnp.asarray((~np.isnan(X)).astype(np.float32))
 
-    @jax.jit
     def u_all(key, U, W):
         # constraints: W u in [0, 1] for every row i (fit.py:116-118)
         n = W.shape[0]
@@ -87,6 +86,14 @@ def make_u_step(args, X, U_samples):
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(p, dtype=jnp.uint32))
         return jax.vmap(one)(jnp.arange(p), U, keys)
+    return u_all
+
+
+def make_u_step(args, X, U_samples):
+    """Host-callback flavor of the U step (reference contract; one RPC per
+    sweep). Kept for non-traceable user hooks; the compiled default is
+    make_traced_u_step."""
+    u_all = jax.jit(_make_u_all(X))
 
     def U_step(model, data, step):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed ^ 0xFEA7), step)
@@ -106,6 +113,30 @@ def make_u_step(args, X, U_samples):
             U_samples[sidx] = U_new
 
     return U_step
+
+
+def make_traced_u_step(X):
+    """Compiled flavor: the U step traces INTO the chunked Gibbs executables
+    (run_gibbs traced_callback contract), so the whole features pipeline
+    runs inside one XLA loop with zero per-sweep host dispatch. Requires
+    nchains == 1 (enforced by init_model for --sample_features)."""
+    u_all = _make_u_all(X)
+
+    def traced_u(state, pdata, key, step):
+        W = state["W"][0]                       # single chain
+        U_new = u_all(key, pdata["U"], W)
+        pdata = dict(pdata, U=U_new)
+        # refresh the W row constraints so W U stays in [0, 1]
+        # (reference fit.py:133-137); Row_constraints are traced state
+        p = U_new.shape[0]
+        Row_zero = jnp.concatenate([U_new, jnp.zeros((p, 1))], axis=1)
+        Row_one = jnp.concatenate([-U_new, jnp.full((p, 1), -1.0)], axis=1)
+        RC = jnp.concatenate([Row_zero, Row_one], axis=0)
+        state = dict(state, Row_constraints=RC[None].astype(
+            state["Row_constraints"].dtype))
+        return state, pdata
+
+    return traced_u
 
 
 def init_model(Y, likelihood, args, X=None):
@@ -181,6 +212,10 @@ def main(argv=None):
     parser.add_argument("--nholdout", type=int, default=0)
     parser.add_argument("--features", help="optional binary row-feature CSV")
     parser.add_argument("--sample_features", action="store_true")
+    parser.add_argument("--host-callback", action="store_true",
+                        help="run the U step as a per-step host callback "
+                             "(the reference's contract) instead of tracing "
+                             "it into the compiled Gibbs loop")
     args = parser.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -233,18 +268,28 @@ def main(argv=None):
     model, U_samples, U0 = init_model(Y, likelihood, args, X=X)
 
     data = {"Y": Y}
-    callback = None
+    callback, traced_cb, cdk = None, None, ()
     if X is not None:
         data["X"] = X
         data["U"] = U0
         if args.sample_features:
-            callback = make_u_step(args, X, U_samples)
+            if args.host_callback:
+                callback = make_u_step(args, X, U_samples)
+            else:
+                # default: compile the U step into the Gibbs loop (zero
+                # per-sweep host dispatch; bench/callback_path.py measures
+                # the difference)
+                traced_cb = make_traced_u_step(X)
+                cdk = ("U",)
 
     print("Running Gibbs sampler. burn={} thin={} samples={}".format(
         args.nburn, args.nthin, args.nsamples))
     results = model.run_gibbs(data, nburn=args.nburn, nthin=args.nthin,
                               nsamples=args.nsamples, print_freq=100,
-                              callback=callback)
+                              callback=callback, traced_callback=traced_cb,
+                              collect_data_keys=cdk)
+    if "U" in results:
+        U_samples = results.pop("U")
     model.shutdown()
     Ws, Vs = results["W"], results["V"]
 

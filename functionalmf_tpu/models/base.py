@@ -540,15 +540,24 @@ class BayesianTensorFiltering:
             return vsweep
         return jax.vmap(sweep, in_axes=(0, None, 0))
 
-    def _get_compiled_chunks(self, nthin, burn_chunk_size, sample_chunk):
+    def _get_compiled_chunks(self, nthin, burn_chunk_size, sample_chunk,
+                             traced_callback=None, collect_data_keys=()):
         """Jitted (burn_chunk, sample_chunk) executables, cached per
         (sample flags, nchains, nthin, chunk sizes). The chunk offset is a
-        traced argument, so every chunk of a run reuses one compilation."""
+        traced argument, so every chunk of a run reuses one compilation.
+
+        With `traced_callback` the per-step hook compiles INTO the chunked
+        executables: the data pytree joins the loop carry so the hook's
+        updates (e.g. the doseresponse U embeddings the likelihood reads,
+        fit.py:102-150 in the reference) reach the next sweep without any
+        host round-trip, and `collect_data_keys` names data entries to
+        collect alongside the state draws."""
         cache = getattr(self, "_run_cache", None)
         if cache is None:
             cache = self._run_cache = {}
         ckey = (self._sample_flags(), self.nchains, nthin, burn_chunk_size,
-                sample_chunk, id(self.mesh))
+                sample_chunk, id(self.mesh), id(traced_callback),
+                tuple(collect_data_keys))
         if ckey in cache:
             return cache[ckey]
 
@@ -556,6 +565,7 @@ class BayesianTensorFiltering:
         vsweep = self._batched_sweep(sweep)
         collect_keys = self._collect_keys
         nchains = self.nchains
+        tc = traced_callback
 
         # Pin the carried state to the model's (dp, mp) shardings so the
         # partitioner keeps W-rows / V-columns distributed across every
@@ -577,34 +587,81 @@ class BayesianTensorFiltering:
             return jax.vmap(lambda c: jax.random.fold_in(base, c))(
                 jnp.arange(nchains, dtype=jnp.uint32))
 
-        @jax.jit
-        def burn_chunk(state, pdata, base_key, offset):
-            def one(i, st):
-                return pin(vsweep(st, pdata, step_keys(base_key, offset + i)))
-            return jax.lax.fori_loop(0, burn_chunk_size, one, state)
+        if tc is None:
+            @jax.jit
+            def burn_chunk(state, pdata, base_key, offset):
+                def one(i, st):
+                    return pin(vsweep(st, pdata, step_keys(base_key, offset + i)))
+                return jax.lax.fori_loop(0, burn_chunk_size, one, state)
+
+            @jax.jit
+            def sample_chunk_fn(state, pdata, base_key, offset):
+                def body(st, t):
+                    def inner(i, s):
+                        return pin(vsweep(s, pdata,
+                                          step_keys(base_key, offset + t * nthin + i)))
+                    st = jax.lax.fori_loop(0, nthin, inner, st)
+                    return st, {k: st[k] for k in collect_keys}
+                return jax.lax.scan(body, state, jnp.arange(sample_chunk))
+
+            cache[ckey] = (burn_chunk, sample_chunk_fn)
+            return cache[ckey]
+
+        # traced-callback variants: pdata joins the carry; the hook runs
+        # after every sweep with its own key stream (fold tag 0xCB)
+        def one_step(carry, base_key, step):
+            st, pd = carry
+            st = vsweep(st, pd, step_keys(base_key, step))
+            st, pd = tc(st, pd, _fold(base_key, 0xCB, step), step)
+            return pin(st), pd
 
         @jax.jit
-        def sample_chunk_fn(state, pdata, base_key, offset):
-            def body(st, t):
-                def inner(i, s):
-                    return pin(vsweep(s, pdata,
-                                      step_keys(base_key, offset + t * nthin + i)))
-                st = jax.lax.fori_loop(0, nthin, inner, st)
-                return st, {k: st[k] for k in collect_keys}
-            return jax.lax.scan(body, state, jnp.arange(sample_chunk))
+        def burn_chunk_tc(state, pdata, base_key, offset):
+            def one(i, carry):
+                return one_step(carry, base_key, offset + i)
+            return jax.lax.fori_loop(0, burn_chunk_size, one, (state, pdata))
 
-        cache[ckey] = (burn_chunk, sample_chunk_fn)
+        @jax.jit
+        def sample_chunk_tc(state, pdata, base_key, offset):
+            def body(carry, t):
+                def inner(i, c):
+                    return one_step(c, base_key, offset + t * nthin + i)
+                st, pd = jax.lax.fori_loop(0, nthin, inner, carry)
+                out = {k: st[k] for k in collect_keys}
+                out.update({"data:" + k: pd[k] for k in collect_data_keys})
+                return (st, pd), out
+            return jax.lax.scan(body, (state, pdata), jnp.arange(sample_chunk))
+
+        cache[ckey] = (burn_chunk_tc, sample_chunk_tc)
         return cache[ckey]
 
     def run_gibbs(self, data, nburn=1000, nthin=1, nsamples=1000, verbose=True,
-                  print_freq=100, callback=None, key=None, **kwargs):
+                  print_freq=100, callback=None, key=None,
+                  traced_callback=None, collect_data_keys=(), **kwargs):
         """Blocked Gibbs: burn-in, then nsamples thinned draws.
 
         Returns a dict of numpy arrays with a leading sample axis; with
         nchains > 1 the chains are concatenated along the sample axis
         (chain-major), matching how the reference's examples concatenate
         chains (examples/poisson_tensor_filtering.py:260-265).
+
+        Per-step hooks come in two flavors:
+          * ``callback(model, data, step)`` — arbitrary host code (the
+            reference's contract, genlasso.py:44-48); forces a per-step
+            host dispatch loop, ~one RPC per sweep.
+          * ``traced_callback(state, pdata, key, step) -> (state, pdata)``
+            — a jax-traceable hook compiled INTO the chunked executables
+            (state/pdata are the chain-batched state dict and prepared data
+            pytree, key a per-step PRNG key, step a traced int32). The
+            sampler stays inside one XLA loop; use for hooks that resample
+            side variables the likelihood reads (e.g. the doseresponse U
+            embeddings, reference fit.py:102-150). ``collect_data_keys``
+            names pdata entries to record at every thinned draw (returned
+            in the results dict with a leading sample axis).
         """
+        if callback is not None and traced_callback is not None:
+            raise ValueError("pass either callback (host) or traced_callback "
+                             "(compiled), not both")
         if key is None:
             key = _fold(self._base_key, 0x515B5)
         pdata = self.prepare_data(data)
@@ -619,12 +676,19 @@ class BayesianTensorFiltering:
         state = self._shard_state(self._state)
 
         if callback is None:
+            has_tc = traced_callback is not None
             nburn, nthin, nsamples = int(nburn), int(nthin), int(nsamples)
             C = max(1, min(nburn, self.max_sweeps_per_call)) if nburn else 1
             S = max(1, min(nsamples, self.max_sweeps_per_call // max(1, nthin)))
-            burn_chunk, sample_chunk = self._get_compiled_chunks(nthin, C, S)
+            burn_chunk, sample_chunk = self._get_compiled_chunks(
+                nthin, C, S, traced_callback=traced_callback,
+                collect_data_keys=tuple(collect_data_keys))
 
             checkpoint_path = kwargs.get("checkpoint_path")
+            if has_tc and checkpoint_path:
+                raise NotImplementedError(
+                    "checkpointing does not yet cover traced_callback's "
+                    "data-pytree updates; run without checkpoint_path")
             offset = 0
             burn_done = 0
             chunks_out = []
@@ -646,7 +710,8 @@ class BayesianTensorFiltering:
             # are harmless and avoid a second compilation for the remainder)
             nchunks = -(-nburn // C) if nburn else 0
             while burn_done < nchunks:
-                state = burn_chunk(state, pdata, key, jnp.uint32(offset))
+                out = burn_chunk(state, pdata, key, jnp.uint32(offset))
+                state, pdata = out if has_tc else (out, pdata)
                 offset += C
                 burn_done += 1
                 if verbose and burn_done % max(1, print_freq // C) == 0:
@@ -656,7 +721,8 @@ class BayesianTensorFiltering:
 
             # sampling, in chunks of S thinned draws; surplus truncated
             while collected < nsamples:
-                state, outs = sample_chunk(state, pdata, key, jnp.uint32(offset))
+                carry, outs = sample_chunk(state, pdata, key, jnp.uint32(offset))
+                state, pdata = carry if has_tc else (carry, pdata)
                 offset += S * nthin
                 chunks_out.append(jax.device_get(outs))
                 collected += S
@@ -664,7 +730,12 @@ class BayesianTensorFiltering:
             outs = {k: np.concatenate([c[k] for c in chunks_out])[:nsamples]
                     for k in chunks_out[0]}
             self._state = state
+            # traced-callback data collections carry no chain axis; split
+            # them off before the chain-major reformat
+            data_outs = {k[len("data:"):]: np.asarray(outs.pop(k))
+                         for k in list(outs) if k.startswith("data:")}
             results = self._format_results(outs, nsamples)
+            results.update(data_outs)
             self._report_run_health(results, verbose)
             return results
 

@@ -19,6 +19,25 @@ behavior, fully static shapes, vmappable across rows/columns/chains. The
 constraints may be given as a dense matrix or as a factorized linear
 operator (callable), which the BTF V updates use to avoid materializing
 the Kronecker-structured constraint matrix.
+
+Why the stationary distribution is unchanged (candidate placement delta vs
+reference gass.py:64-110): both kernels are slice samplers whose proposal,
+given the slice height, is a uniform pick among above-slice FEASIBLE grid
+points on the same ellipse. Validity does not depend on how the candidate
+set is generated — only that (a) its generation is independent of the
+likelihood values (it is: both use only the constraint geometry and the
+RNG), and (b) the current point remains reachable via the stay-put
+fallback when every candidate rejects (both keep x when nothing is
+acceptable, reference gass.py:123-128). Any such kernel leaves the
+target invariant for the same reason Murray et al.'s ESS does: the
+ellipse + slice construction is an auxiliary-variable Gibbs move, and a
+uniform pick among an arbitrary likelihood-independent candidate set
+above the slice is a valid within-slice transition (it is a mixture of
+Metropolized independence moves restricted to the slice). The two
+implementations therefore differ only in *mixing* per sweep (candidate
+density near the current point), not in the invariant distribution; the
+model-level equivalence test (tests/test_constrained.py grid-vs-shrink
+posterior agreement) checks this empirically.
 """
 from __future__ import annotations
 

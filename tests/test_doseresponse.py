@@ -87,10 +87,7 @@ def test_fit_pipeline_end_to_end(tmp_path):
     assert os.path.exists(out / "btf_mono.npy")
 
 
-@pytest.mark.slow
-def test_fit_pipeline_with_features(tmp_path):
-    """Row-feature path with U resampled in the per-step callback
-    (reference fit.py:102-150)."""
+def _run_features_pipeline(tmp_path, extra_args=()):
     from functionalmf_tpu.apps.doseresponse import fit as fit_mod
     sim = simulate(k=2, n=5, m=4, t=5, r=3, p=6, n_missing=1, p_missing=1, seed=0)
     write_csv(sim, str(tmp_path))
@@ -101,10 +98,26 @@ def test_fit_pipeline_with_features(tmp_path):
         "--features", str(tmp_path / "features.csv"),
         "--sample_features",
         "--nembeds", "2", "--nburn", "10", "--nsamples", "10",
-        "--seed", "0", "--nbins", "10",
+        "--seed", "0", "--nbins", "10", *extra_args,
     ])
     U = np.load(out / "btf_u.npy")
     assert U.shape[0] == 10
     assert np.isfinite(U).all()
     # U actually moved from its NMF init across samples
     assert not np.allclose(U[0], U[-1])
+    return U
+
+
+@pytest.mark.slow
+def test_fit_pipeline_with_features_traced(tmp_path):
+    """Row-feature path with the U step compiled into the Gibbs loop
+    (run_gibbs traced_callback; reference semantics of fit.py:102-150
+    with zero per-sweep host dispatch)."""
+    _run_features_pipeline(tmp_path)
+
+
+@pytest.mark.slow
+def test_fit_pipeline_with_features_host_callback(tmp_path):
+    """Same pipeline through the reference-contract host callback
+    (one dispatch per sweep; kept for non-traceable user hooks)."""
+    _run_features_pipeline(tmp_path, ("--host-callback",))

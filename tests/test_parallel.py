@@ -139,6 +139,53 @@ def test_sharded_equals_unsharded_constrained(rng):
 
 
 @pytest.mark.slow
+def test_constrained_long_run_under_mesh(rng):
+    """Flagship constrained model driven through run_gibbs for 60+ sweeps
+    ON the (dp, mp) mesh (VERDICT round-2 item 5): every retained draw must
+    be finite AND satisfy the positivity constraints at every cell — the
+    collective plan (all-gather of the V-derived constraint matrix across
+    mp shards) holds up over a long window, not just one step."""
+    from jax.scipy.special import gammaln
+    from functionalmf_tpu import ConstrainedNonconjugateBayesianTensorFiltering
+
+    nrows, ncols, ndepth, k = 8, 8, 6, 2
+
+    def poisson_loglik(Y, WV, W, V, row=None, col=None):
+        if row is not None:
+            Y = Y[row]
+        if col is not None:
+            Y = Y[:, col]
+        rate = jnp.clip(WV, 1e-8, None)
+        Y0 = jnp.where(jnp.isnan(Y), 0.0, Y)
+        ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+        return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
+
+    W0 = np.abs(rng.normal(1, 0.2, size=(nrows, k)))
+    W0[np.triu_indices(k, k=1)] = 0
+    V0 = np.abs(rng.normal(1, 0.2, size=(ncols, ndepth, k)))
+    Y = rng.poisson(np.einsum("nk,mtk->nmt", W0, V0)).astype(float)
+    Constraints = np.concatenate([np.eye(ndepth), np.zeros((ndepth, 1))], axis=1)
+
+    mesh = make_mesh(n_dp=2, n_mp=4)
+    mod = ConstrainedNonconjugateBayesianTensorFiltering(
+        nrows, ncols, ndepth, poisson_loglik, Constraints, mesh=mesh,
+        nembeds=k, tf_order=1, sigma2_init=0.5, lam2_init=0.1,
+        W_init=W0, V_init=V0, gass_ngrid=12, seed=7, nchains=2)
+    res = mod.run_gibbs(Y, nburn=20, nthin=1, nsamples=40, verbose=False)
+
+    Ws, Vs = res["W"], res["V"]  # (2*40, ...) chain-major
+    assert Ws.shape[0] == 80
+    assert np.isfinite(Ws).all() and np.isfinite(Vs).all()
+    tau = np.einsum("znk,zmtk->znmt", Ws, Vs)
+    assert tau.min() >= -1e-4, f"constraint violated under mesh: {tau.min()}"
+    # chains actually moved
+    assert not np.allclose(Vs[0], Vs[39])
+    # the final carried state is still mp-sharded
+    assert "mp" in str(mod.state["V"].sharding.spec)
+    assert float(np.asarray(res["nan_fallbacks"]).sum()) == 0.0
+
+
+@pytest.mark.slow
 def test_graft_entry_hooks():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

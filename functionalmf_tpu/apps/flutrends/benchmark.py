@@ -15,6 +15,25 @@ import numpy as np
 from functionalmf_tpu import GaussianBayesianTensorFiltering
 
 
+def predictive_bands(Mu_hat, nu2s, rng, nsim=20, lo=2.5, hi=97.5):
+    """Posterior predictive 95% bands per cell from N(Mu_draw, nu2_draw)
+    (reference flutrends/benchmark.py:66-76).
+
+    The simulation axis must LEAD before the merge with the draw axis —
+    reshaping with it trailing scrambles simulations into the time axis
+    and poisons every per-cell percentile (round-3 root cause of the
+    79/77% coverage previously reported by this benchmark: the model was
+    fine, the band pooling was wrong; the CPU reference-algorithm anchor
+    bench/flutrends_cpu.py exposed it at 95.7/87.9%, and the fixed
+    benchmark reproduces that). Regression-tested against a direct
+    per-cell computation in tests/test_flutrends.py."""
+    draws = Mu_hat[None] + rng.normal(
+        0, np.sqrt(nu2s)[None], size=(nsim,) + Mu_hat.shape)
+    draws = draws.reshape((-1,) + Mu_hat.shape[1:])
+    return (np.percentile(draws, lo, axis=0),
+            np.percentile(draws, hi, axis=0))
+
+
 def load_data(data_dir, rng):
     from scipy.io import loadmat
     raw = os.path.join(data_dir, "flu_US.mat")
@@ -82,14 +101,7 @@ def main(argv=None):
         if nu2s.ndim == 2:                       # scalar mode: (S, 1)
             nu2s = nu2s[:, 0][:, None, None, None]
         # row mode: (S, nrows, 1, 1) broadcasts per state
-
-        # posterior predictive bands (benchmark.py:66-76)
-        draws = Mu_hat[:, :, :, :, None] + rng.normal(
-            0, np.sqrt(nu2s)[..., None],
-            size=Mu_hat.shape + (20,))
-        draws = draws.reshape(-1, nrows, ncols, ndepth)
-        Y_upper = np.percentile(draws, 97.5, axis=0)
-        Y_lower = np.percentile(draws, 2.5, axis=0)
+        Y_lower, Y_upper = predictive_bands(Mu_hat, nu2s, rng)
 
         cov_in = 100 - ((Y[is_in_sample] < Y_lower[is_in_sample])
                         | (Y[is_in_sample] > Y_upper[is_in_sample])).mean() * 100

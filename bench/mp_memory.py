@@ -38,7 +38,7 @@ def _body():
     spec.loader.exec_module(ge)
 
     # 4x GDELT rows/cols; modest ngrid so CPU compile stays tractable
-    nrows, ncols, ndepth, k = 76, 76, 228, 5
+    nrows, ncols, ndepth, k = 80, 80, 228, 5
     rows = {}
     for n_mp in (1, 2, 4, 8):
         model, Y = ge._build_model(nrows=nrows, ncols=ncols, ndepth=ndepth,

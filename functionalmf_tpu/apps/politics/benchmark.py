@@ -99,6 +99,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--no-ep", action="store_true",
                         help="disable EP centering of the GASS proposal")
+    parser.add_argument("--v-block-size", type=int, default=8,
+                        help="time-block size for the V GASS updates; "
+                             "0 = the reference's joint per-column update")
     parser.add_argument("--outdir", default=None)
     args = parser.parse_args(argv)
 
@@ -128,6 +131,7 @@ def main(argv=None):
         nrows, ncols, ndepth, rowcol_loglikelihood, C_zero,
         nembeds=nembeds, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
         ep_approx=ep, W_init=W0, V_init=V0, seed=args.seed,
+        v_block_size=args.v_block_size or None,
         loglikelihood_block=rowcol_loglikelihood_block)
 
     print("Running Gibbs sampler")

@@ -76,6 +76,31 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                                         # flagship example where the joint
                                         # update reaches only ~78% at the
                                         # 90% level (RESULTS.md)
+                 v_schedule="seq",      # "seq" = sequential time blocks
+                                        # (Gauss-Seidel); "redblack" = the
+                                        # two-color schedule: all even
+                                        # blocks update in ONE batched GASS
+                                        # call given the odd blocks, then
+                                        # vice versa. Exact Gibbs when the
+                                        # likelihood factorizes over depth
+                                        # (requires loglikelihood_cells),
+                                        # the prior bandwidth <= block size
+                                        # and every constraint row's
+                                        # support width <= block size + 1 —
+                                        # then non-adjacent blocks are
+                                        # conditionally independent. Cuts
+                                        # the V update's sequential depth
+                                        # from T/bs GASS rounds to 2-3.
+                 loglikelihood_cells=None,  # cellwise likelihood for the
+                                        # redblack schedule: (data, WV_blk,
+                                        # W, V_blk, col=j, t0=<traced int>,
+                                        # size=<static int>) -> scalar
+                                        # loglik of the cells in
+                                        # [t0, t0+size) of column j alone;
+                                        # slice data with
+                                        # jax.lax.dynamic_slice_in_dim
+                                        # (t0 is traced under the batched
+                                        # schedule, size is static)
                  loglikelihood_block=None,  # optional fast path for the
                                         # blocked V updates: ONLY valid when
                                         # the likelihood factorizes over the
@@ -94,6 +119,7 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         super().__init__(nrows, ncols, ndepth, **kwargs)
         self.loglikelihood = loglikelihood
         self.loglikelihood_block = loglikelihood_block
+        self.loglikelihood_cells = loglikelihood_cells
         self.gass_ngrid = int(gass_ngrid)
         self.gass_w_repeats = max(1, int(gass_w_repeats))
         self.gass_v_repeats = max(1, int(gass_v_repeats))
@@ -102,6 +128,35 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         self.gass_method = gass_method
         self.v_block_size = (None if v_block_size is None
                              else int(v_block_size))
+        if v_schedule not in ("seq", "redblack"):
+            raise ValueError(f"unknown v_schedule {v_schedule!r}")
+        self.v_schedule = v_schedule
+        if v_schedule == "redblack":
+            bs = self.v_block_size
+            if bs is None or bs >= ndepth:
+                raise ValueError("redblack needs a finite v_block_size < T")
+            if loglikelihood_cells is None:
+                raise ValueError(
+                    "the redblack schedule updates non-adjacent blocks "
+                    "simultaneously, which is only an exact Gibbs kernel "
+                    "for likelihoods that factorize over the depth axis — "
+                    "pass loglikelihood_cells")
+            supp = np.abs(np.asarray(self.Delta)) > 0
+            extents = [np.nonzero(r)[0] for r in supp if r.any()]
+            delta_ext = max(int(e.max() - e.min()) for e in extents)
+            if delta_ext > bs:  # DtLD bandwidth = Delta row extent
+                raise ValueError(
+                    f"prior bandwidth {delta_ext} > v_block_size {bs}: "
+                    "non-adjacent blocks would couple through the prior")
+            csupp = np.abs(np.asarray(Constraints[:, :-1])) > 0
+            cext = [np.nonzero(r)[0] for r in csupp if r.any()]
+            cons_w = max((int(e.max() - e.min()) + 1 for e in cext),
+                         default=0)
+            if cons_w > bs + 1:
+                raise ValueError(
+                    f"a constraint row spans {cons_w} time points > "
+                    f"v_block_size + 1 = {bs + 1}: it could couple two "
+                    "same-color blocks")
 
         Constraints = np.asarray(Constraints, dtype=np.float32)
         self._CA_np = Constraints[:, :-1]  # host copy for static block masks
@@ -465,6 +520,176 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         return dict(state, V=X.astype(self.dtype))
 
     # ------------------------------------------------------------------
+    # V update, red-black schedule: 2-3 batched GASS rounds per sweep
+    # ------------------------------------------------------------------
+    def _update_V_gass_redblack(self, state, data, key):
+        """Two-color blocked V update. Same per-block conditionals as the
+        sequential schedule (exactness argument in __init__'s validation:
+        same-color blocks are conditionally independent because the prior
+        couples only adjacent blocks, every constraint row touches at most
+        adjacent blocks, and the likelihood factorizes over depth), but all
+        same-color blocks across ALL columns update in ONE vmapped GASS
+        call — the sequential depth per sweep drops from ceil(T/bs) GASS
+        rounds to 2 (+1 for a ragged tail block)."""
+        from functionalmf_tpu.ops.mvn import _cho_solve, cholesky_psd
+
+        n, m, T, k = self.nrows, self.ncols, self.ndepth, self.nembeds
+        W = state["W"] * self._wmask
+        CA, CC = self.Constraints_A, self.Constraints_C
+        bs = self.v_block_size
+        _hp = jax.lax.Precision.HIGHEST
+
+        DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])  # (m, T, T)
+        has_ep = self.Mu_ep is not None
+        if has_ep:
+            Mu_ep = jnp.asarray(self.Mu_ep, self.dtype)
+            Sigma_ep = jnp.asarray(self.Sigma_ep, self.dtype)
+            Sinv2 = jnp.where(jnp.isnan(Mu_ep), 0.0, 1.0 / Sigma_ep ** 2)
+            Mu0 = jnp.where(jnp.isnan(Mu_ep), 0.0, Mu_ep)
+            G = jnp.einsum("ijt,ia,ib->jtab", Sinv2, W, W, precision=_hp)
+            mu_part = jnp.einsum("ijt,ia->jta", Mu0 * Sinv2, W, precision=_hp)
+        else:
+            G = None
+            mu_part = jnp.zeros((m, T, k), self.dtype)
+
+        nb_full = T // bs
+        rem = T % bs
+        phases = [list(range(0, nb_full, 2)), list(range(1, nb_full, 2))]
+        user_cells = self.loglikelihood_cells
+        data_c = data
+
+        def phase_update(X, starts, size, pkey):
+            nblk = len(starts)
+            t_mask = np.ones(T, np.float32)
+            for s in starts:
+                t_mask[s:s + size] = 0.0
+            X_out = X * t_mask[None, :, None]
+
+            DtLD_blk = jnp.stack([DtLD[:, s:s + size, s:s + size]
+                                  for s in starts], 1)   # (m, nblk, sz, sz)
+            DtLD_rows = jnp.stack([DtLD[:, s:s + size, :]
+                                   for s in starts], 1)  # (m, nblk, sz, T)
+            cross = jnp.einsum("mbts,msk->mbtk", DtLD_rows, X_out,
+                               precision=_hp)
+            mu_p = jnp.stack([mu_part[:, s:s + size] for s in starts], 1)
+            rhs_tk = mu_p - cross                        # (m, nblk, sz, k)
+            z = jax.random.normal(_fold(pkey, 0), (m, nblk, size, k),
+                                  self.dtype)
+            D = size * k
+            if has_ep:
+                G_blk = jnp.stack([G[:, s:s + size] for s in starts], 1)
+                Qd = jnp.einsum("mbts,ab->mbtasb", DtLD_blk,
+                                np.eye(k, dtype=np.float32), precision=_hp)
+                Qd = Qd + jnp.einsum("mbtab,ts->mbtasb", G_blk,
+                                     np.eye(size, dtype=np.float32),
+                                     precision=_hp)
+                Qbb = Qd.reshape(m, nblk, D, D)
+                rhs = rhs_tk.reshape(m, nblk, D)
+                d = jnp.diagonal(Qbb, axis1=-2, axis2=-1)
+                dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+                Qe = Qbb * dinv[..., :, None] * dinv[..., None, :]
+                L = cholesky_psd(Qe, eps=self.linalg_opts["force_psd_eps"],
+                                 attempts=self.linalg_opts["force_psd_attempts"])
+                mu_b = (_cho_solve(L, rhs * dinv) * dinv)
+                v_b = (jax.lax.linalg.triangular_solve(
+                    L, (z.reshape(m, nblk, D))[..., None], left_side=True,
+                    lower=True, transpose_a=True)[..., 0] * dinv)
+            else:
+                d = jnp.diagonal(DtLD_blk, axis1=-2, axis2=-1)
+                dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+                Qe = DtLD_blk * dinv[..., :, None] * dinv[..., None, :]
+                L = cholesky_psd(Qe, eps=self.linalg_opts["force_psd_eps"],
+                                 attempts=self.linalg_opts["force_psd_attempts"])
+                y = jax.lax.linalg.triangular_solve(
+                    L, rhs_tk * dinv[..., None], left_side=True, lower=True)
+                mu_b = (jax.lax.linalg.triangular_solve(
+                    L, y, left_side=True, lower=True, transpose_a=True)
+                    * dinv[..., None]).reshape(m, nblk, D)
+                v_b = (jax.lax.linalg.triangular_solve(
+                    L, z, left_side=True, lower=True, transpose_a=True)
+                    * dinv[..., None]).reshape(m, nblk, D)
+
+            # constraints restricted to each block (host-side, padded to a
+            # uniform J so blocks batch; padded rows are 0 x >= -1)
+            rels = [np.nonzero(np.abs(self._CA_np[:, s:s + size]).sum(1) > 0)[0]
+                    for s in starts]
+            Jb = max(1, max(len(r) for r in rels))
+            CA_blk = np.zeros((nblk, Jb, size), np.float32)
+            CA_out = np.zeros((nblk, Jb, T), np.float32)
+            CC_pad = np.full((nblk, Jb), -1.0, np.float32)
+            for b, (s, rel) in enumerate(zip(starts, rels)):
+                if len(rel) == 0:
+                    continue
+                CA_blk[b, :len(rel)] = self._CA_np[rel][:, s:s + size]
+                co = self._CA_np[rel].copy()
+                co[:, s:s + size] = 0.0
+                CA_out[b, :len(rel)] = co
+                CC_pad[b, :len(rel)] = np.asarray(CC)[rel]
+            tau_out = jnp.einsum("mtk,nk->mnt", X_out, W, precision=_hp)
+            frozen = jnp.einsum("mnt,bjt->mbnj", tau_out,
+                                jnp.asarray(CA_out), precision=_hp)
+            c_all = (jnp.asarray(CC_pad)[None, :, None, :] - frozen
+                     ).reshape(m, nblk, n * Jb)
+
+            CA_blk_d = jnp.asarray(CA_blk)
+            starts_d = jnp.asarray(np.array(starts, np.int32))
+
+            def col_blk_gass(j, b, xb, mu_jb, v_jb, c_jb, k_jb):
+                CA_b = CA_blk_d[b]                        # (Jb, size)
+                t0 = starts_d[b]
+
+                def A_op(y):  # (size*k,) -> (n*Jb,)
+                    M = jnp.dot(CA_b, y.reshape(size, k), precision=_hp)
+                    return jnp.dot(W, M.T, precision=_hp).reshape(-1)
+
+                def loglik(cands):  # (G, size*k) -> (G,)
+                    Vg = cands.reshape(-1, size, k)
+                    tau = jnp.einsum("gtk,nk->gnt", Vg, W)
+
+                    def one(tau_g, Vb_g):
+                        ll = user_cells(data_c, tau_g, W, Vb_g,
+                                        col=j, t0=t0, size=size)
+                        if has_ep:
+                            mu_sl = jax.lax.dynamic_slice_in_dim(
+                                Mu_ep[:, j], t0, size, axis=1)
+                            sg_sl = jax.lax.dynamic_slice_in_dim(
+                                Sigma_ep[:, j], t0, size, axis=1)
+                            ll = ll - _ep_logpdf(tau_g, mu_sl, sg_sl)
+                        return ll
+
+                    return jax.vmap(one)(tau, Vg)
+
+                xb_new, _ = gass(k_jb, xb, None, loglik, A_op, c_jb,
+                                 mu=mu_jb, ngrid=self.gass_ngrid, v=v_jb,
+                                 method=self.gass_method)
+                return xb_new
+
+            Xb_cur = jnp.stack([X[:, s:s + size] for s in starts],
+                               1).reshape(m, nblk, D)
+            keys = jax.vmap(lambda j: jax.vmap(
+                lambda b: _fold(pkey, 1, j, b))(
+                np.arange(nblk, dtype=np.uint32)))(
+                np.arange(m, dtype=np.uint32))
+            inner = jax.vmap(col_blk_gass, in_axes=(None, 0, 0, 0, 0, 0, 0))
+            Xb_new = jax.vmap(lambda j, xb, mu_j, v_j, c_j, k_j: inner(
+                j, np.arange(nblk), xb, mu_j, v_j, c_j, k_j))(
+                np.arange(m), Xb_cur, mu_b, v_b, c_all, keys)
+            Xb_new = Xb_new.reshape(m, nblk, size, k)
+            for b, s in enumerate(starts):
+                X = X.at[:, s:s + size].set(Xb_new[:, b])
+            return X
+
+        X = state["V"]
+        for ph, starts in enumerate(phases):
+            if starts:
+                X = phase_update(X, [s * bs for s in starts], bs,
+                                 _fold(key, 80 + ph))
+        if rem:
+            # ragged tail block, one extra single-block round
+            X = phase_update(X, [nb_full * bs], rem, _fold(key, 83))
+        return dict(state, V=X.astype(self.dtype))
+
+    # ------------------------------------------------------------------
     def _make_sweep(self):
         rW, rV = self.gass_w_repeats, self.gass_v_repeats
 
@@ -473,9 +698,12 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                 state = self._update_W_gass(state, pdata, _fold(key, 40 + r))
             return state
 
+        upd_v = (self._update_V_gass_redblack
+                 if self.v_schedule == "redblack" else self._update_V_gass)
+
         def update_V(state, pdata, key):
             for r in range(rV):
-                state = self._update_V_gass(state, pdata, _fold(key, 60 + r))
+                state = upd_v(state, pdata, _fold(key, 60 + r))
             return state
 
         def sweep(state, pdata, key):

@@ -41,6 +41,18 @@ def poisson_loglik(Y, WV, W, V, row=None, col=None):
     return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
 
 
+def poisson_loglik_cells(Y, WV, W, V, col=None, t0=None, size=None):
+    # cellwise contract for the red-black blocked schedule (t0 is traced,
+    # size static; see models/constrained.py loglikelihood_cells)
+    Yb = jax.lax.dynamic_slice_in_dim(Y[:, col], t0, size, axis=1)
+    if Yb.ndim > WV.ndim:
+        WV = WV[..., None]
+    rate = jnp.clip(WV, 1e-8, None)
+    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
+    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+
+
 def poisson_loglik_block(Y, WV, W, V, row=None, col=None, tslice=None):
     # depth-decomposable fast path for the blocked-V sampler (the Poisson
     # likelihood factorizes over cells)
@@ -138,6 +150,20 @@ def main():
         extras.update(blocked_min_ess_per_sec=round(blk_eps, 4),
                       blocked_min_ess_per_sweep=round(blk_eps_sweep, 6),
                       blocked_slowest_param=blk_slow)
+
+        # red-black two-color blocked schedule (round 3): same posterior,
+        # sequential depth ceil(T/bs) -> 2-3 batched GASS rounds per sweep
+        model_rb = ConstrainedNonconjugateBayesianTensorFiltering(
+            NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
+            nembeds=NEMBEDS, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
+            W_init=W0, V_init=V0, gass_ngrid=100, seed=0,
+            v_schedule="redblack", loglikelihood_cells=poisson_loglik_cells)
+        model_rb.run_gibbs(Y, nburn=nsweeps - 1, nthin=1, nsamples=1,
+                           verbose=False)
+        t0 = time.time()
+        model_rb.run_gibbs(Y, nburn=nsweeps - 1, nthin=1, nsamples=1,
+                           verbose=False)
+        extras["redblack_sweeps_per_sec"] = round(nsweeps / (time.time() - t0), 3)
     except Exception as e:  # pragma: no cover - bench must always emit JSON
         extras["ess_error"] = repr(e)[:200]
 

@@ -55,6 +55,19 @@ def rowcol_loglikelihood_block(Y, WV, W, V, row=None, col=None, tslice=None):
     return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
 
 
+def rowcol_loglikelihood_cells(Y, WV, W, V, col=None, t0=None, size=None):
+    # cellwise contract for the red-black blocked schedule
+    # (models/constrained.py loglikelihood_cells: t0 traced, size static)
+    import jax
+    Yb = jax.lax.dynamic_slice_in_dim(Y[:, col], t0, size, axis=1)
+    if Yb.ndim > WV.ndim:
+        WV = WV[..., None]
+    rate = jnp.clip(WV, 1e-8, None)
+    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
+    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+
+
 def init_model(nembeds, tf_order=0, lam2=0.1, sigma2=0.5, monotone=False,
                seed=0, **kwargs):
     # poisson example:38-56 (no shared-memory cleanup needed here)

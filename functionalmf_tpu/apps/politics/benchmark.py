@@ -16,6 +16,7 @@ import argparse
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
@@ -42,6 +43,17 @@ def rowcol_loglikelihood_block(Y, WV, W, V, row=None, col=None, tslice=None):
     # block's cells drive the blocked-V slice test
     s0, e0 = tslice
     Yb = Y[:, col, s0:e0]
+    if Yb.ndim > WV.ndim:
+        WV = WV[..., None]
+    rate = jnp.clip(WV, 1e-8, None)
+    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
+    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+
+
+def rowcol_loglikelihood_cells(Y, WV, W, V, col=None, t0=None, size=None):
+    # cellwise contract for the red-black blocked schedule
+    Yb = jax.lax.dynamic_slice_in_dim(Y[:, col], t0, size, axis=1)
     if Yb.ndim > WV.ndim:
         WV = WV[..., None]
     rate = jnp.clip(WV, 1e-8, None)
@@ -102,6 +114,10 @@ def main(argv=None):
     parser.add_argument("--v-block-size", type=int, default=8,
                         help="time-block size for the V GASS updates; "
                              "0 = the reference's joint per-column update")
+    parser.add_argument("--v-schedule", default="seq",
+                        choices=["seq", "redblack"],
+                        help="blocked-V schedule; redblack batches all "
+                             "same-color time blocks into one GASS call")
     parser.add_argument("--outdir", default=None)
     args = parser.parse_args(argv)
 
@@ -132,6 +148,9 @@ def main(argv=None):
         nembeds=nembeds, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
         ep_approx=ep, W_init=W0, V_init=V0, seed=args.seed,
         v_block_size=args.v_block_size or None,
+        v_schedule=args.v_schedule,
+        loglikelihood_cells=(rowcol_loglikelihood_cells
+                             if args.v_schedule == "redblack" else None),
         loglikelihood_block=rowcol_loglikelihood_block)
 
     print("Running Gibbs sampler")

@@ -578,9 +578,9 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
             D = size * k
             if has_ep:
                 G_blk = jnp.stack([G[:, s:s + size] for s in starts], 1)
-                Qd = jnp.einsum("mbts,ab->mbtasb", DtLD_blk,
+                Qd = jnp.einsum("mbts,ac->mbtasc", DtLD_blk,
                                 np.eye(k, dtype=np.float32), precision=_hp)
-                Qd = Qd + jnp.einsum("mbtab,ts->mbtasb", G_blk,
+                Qd = Qd + jnp.einsum("mbtac,ts->mbtasc", G_blk,
                                      np.eye(size, dtype=np.float32),
                                      precision=_hp)
                 Qbb = Qd.reshape(m, nblk, D, D)

@@ -353,6 +353,46 @@ def test_redblack_matches_sequential_posterior(rng):
             v_block_size=3, v_schedule="redblack", seed=0)
 
 
+def test_redblack_with_ep_centering(rng):
+    """Regression: the red-black EP branch built its coupled (size*k) block
+    precision with an einsum that reused the block index as an embedding
+    index ('mbts,ab->mbtasb'), which failed at trace time — so EP-centered
+    runs (the politics configuration, reference politics/benchmark.py:84-97)
+    could never use the red-black schedule. Runs a short EP-centered
+    red-black chain and checks feasibility/finiteness of every draw."""
+    nembeds = 2
+    n_, m_, T_ = 5, 4, 9
+    rng = np.random.default_rng(9)
+    W = rng.gamma(1, 1, (n_, nembeds)); W[np.triu_indices(nembeds, 1)] = 0
+    V = np.abs(rng.normal(1, .3, (m_, T_, nembeds)))
+    Mu = np.einsum("nk,mtk->nmt", W, V)
+    Y = rng.poisson(Mu).astype(float)
+
+    def pcells(Yd, WV, Wm, Vb, col=None, t0=None, size=None):
+        import jax
+        from jax.scipy.special import gammaln
+        Yb = jax.lax.dynamic_slice_in_dim(Yd[:, col], t0, size, axis=1)
+        rate = jnp.clip(WV, 1e-8, None)
+        Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
+        lp = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.)
+        return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, lp))
+
+    C = np.concatenate([np.eye(T_), np.zeros((T_, 1))], axis=1)
+    W0 = np.abs(rng.normal(1, .2, (n_, nembeds)))
+    W0[np.triu_indices(nembeds, 1)] = 0
+    V0 = np.abs(rng.normal(1, .2, (m_, T_, nembeds)))
+    ep = (Mu + rng.normal(0, 0.1, Mu.shape), np.full(Mu.shape, 8.0))
+    mod = ConstrainedNonconjugateBayesianTensorFiltering(
+        n_, m_, T_, poisson_loglik, C, nembeds=nembeds, tf_order=0,
+        sigma2_init=0.5, lam2_init=0.1, W_init=W0, V_init=V0,
+        gass_ngrid=32, v_block_size=3, v_schedule="redblack",
+        loglikelihood_cells=pcells, ep_approx=ep, seed=13)
+    res = mod.run_gibbs(Y, nburn=40, nthin=1, nsamples=40, verbose=False)
+    mu = np.einsum("znk,zmtk->znmt", res["W"], res["V"])
+    assert np.isfinite(mu).all()
+    assert mu.min() >= -1e-5  # feasibility of every draw
+
+
 @pytest.mark.slow
 def test_feasibility_invariant_every_draw(rng):
     """Every stored draw must satisfy the constraints. Regression test for a

@@ -34,6 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functionalmf_tpu.ops.banded import _mm_f32
 from functionalmf_tpu.ops.penalty import bayes_grid_penalty
 from functionalmf_tpu.samplers.horseshoe import (
     sample_horseshoe,
@@ -304,8 +305,12 @@ class BayesianTensorFiltering:
         lo, hi = self.stability, 1.0 / self.stability
         return jnp.clip(1.0 / jnp.clip(lam2 * Tau2, lo, hi), lo, hi)
 
+    @_mm_f32
     def _v_prior_dtld(self, lam2, Tau2):
-        """D^T Lam_j D per column: (ncols, T, T)."""
+        """D^T Lam_j D per column: (ncols, T, T). Full-f32 matmuls: the
+        horseshoe weights span ~1e-6..1e6, and this Gram is the prior block
+        of every V conditional — a reduced-precision pass here perturbs
+        Cholesky pivots downstream (ops/banded.py:_mm_f32)."""
         w = self._v_prior_weights(lam2, Tau2)  # (ncols, nD)
         return jnp.einsum("dt,jd,ds->jts", self.Delta, w, self.Delta)
 
@@ -350,6 +355,7 @@ class BayesianTensorFiltering:
             self.sigma2_b + sq / 2.0)
         return dict(state, sigma2=(1.0 / prec).astype(self.dtype))
 
+    @_mm_f32
     def _update_tau2(self, state, key):
         deltas = jnp.einsum("dt,jtk->jdk", self.Delta, state["V"])
         deltas_sq = jnp.sum(deltas * deltas, axis=-1)
@@ -359,6 +365,7 @@ class BayesianTensorFiltering:
         return dict(state, Tau2=t2.astype(self.dtype), Tau2_c=c.astype(self.dtype),
                     Tau2_b=b.astype(self.dtype), Tau2_a=a.astype(self.dtype))
 
+    @_mm_f32
     def _update_lam2(self, state, key):
         deltas = jnp.einsum("dt,jtk->jdk", self.Delta, state["V"])
         s = jnp.sum(deltas * deltas / jnp.clip(state["Tau2"], self.stability,

@@ -57,7 +57,8 @@ class BinomialBayesianTensorFiltering(GaussianBayesianTensorFiltering):
         kappa = (Y - N/2) so that the Gaussian cores see weight omega and
         weighted target omega * kappa/omega = kappa.
         """
-        Mu = jnp.einsum("nk,mtk->nmt", state["W"], state["V"])
+        Mu = jnp.einsum("nk,mtk->nmt", state["W"], state["V"],
+                        precision=jax.lax.Precision.HIGHEST)
         omega = polya_gamma(key, N * mask, Mu, num_terms=self.pg_num_terms)
         nu2 = jnp.where(omega > 0, 1.0 / jnp.where(omega > 0, omega, 1.0), jnp.inf)
         w8 = omega * mask

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from functionalmf_tpu.models.base import BayesianTensorFiltering, _fold
+from functionalmf_tpu.ops.banded import _mm_f32
 from functionalmf_tpu.ops.mvn import sample_mvn_from_precision
 
 __all__ = ["GaussianBayesianTensorFiltering"]
@@ -106,11 +107,17 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
     # ------------------------------------------------------------------
     # batched conjugate updates, shared with the Polya-Gamma subclasses
     # ------------------------------------------------------------------
+    @_mm_f32
     def _gaussian_update_W(self, state, w8, wy, key):
         """All-rows ridge posterior in one batched Cholesky (factor.py:313-362).
 
         w8[i,j,t] = effective precision weight (counts/nu2 here; omega for
         PG models); wy[i,j,t] = w8 * target so that mu_part = X^T wy.
+
+        Full-f32 matmuls (_mm_f32): the Gram/mean products feed a Cholesky
+        draw; the default reduced-precision MXU pass biases the conditional
+        (same failure class as the constrained sampler's HIGHEST einsums,
+        and the chip-only flu k=10 excursions — see ops/banded.py:_mm_f32).
         """
         k = self.nembeds
         V = state["V"]
@@ -127,9 +134,11 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
                                          equilibrate=True, **self.linalg_opts)
         return dict(state, W=(Wnew * mask).astype(self.dtype))
 
+    @_mm_f32
     def _gaussian_update_V(self, state, w8, wy, key):
         """All-columns GLS posterior via the block-banded Cholesky kernel
         (factor.py:364-409, where the reference crossed into CHOLMOD).
+        Full-f32 matmuls for the Gram/mean assembly (see _gaussian_update_W).
 
         In time-major ordering the precision Q_j = Q_lik + kron(I_k, DtLD_j)
         is block-banded: diagonal blocks G_t + DtLD[t,t] I_k (dense over
@@ -160,9 +169,11 @@ class GaussianBayesianTensorFiltering(BayesianTensorFiltering):
                     pivot_repairs=state["pivot_repairs"] + repaired.sum(),
                     nan_fallbacks=state["nan_fallbacks"] + gersh.sum())
 
+    @_mm_f32
     def _update_nu2(self, state, pdata, key):
         """Observation-noise IG update (factor.py:411-416); shared scalar
-        or per-row depending on nu2_mode."""
+        or per-row depending on nu2_mode. Full-f32 Mu: a bf16 Mu biases
+        the squared-error sum that sets the noise scale."""
         Mu = jnp.einsum("nk,mtk->nmt", state["W"], state["V"])
         cellerr = (pdata["ysqsum"] - 2.0 * Mu * pdata["ysum"]
                    + pdata["counts"] * Mu * Mu)

@@ -98,7 +98,8 @@ class NegativeBinomialBayesianTensorFiltering(BinomialBayesianTensorFiltering):
         Y, rm = pdata["Yrep"], pdata["repmask"]
         lo, hi = self.accept_clip
         # success probability from the current embeddings (factor.py:519)
-        Mu = jnp.einsum("nk,mtk->nmt", state["W"], state["V"])
+        Mu = jnp.einsum("nk,mtk->nmt", state["W"], state["V"],
+                        precision=jax.lax.Precision.HIGHEST)
         P = jax.nn.sigmoid(jnp.clip(Mu, -10, 10))[..., None]
         log1mP = jnp.log1p(-P)
         logR0 = jnp.log(state["R"])

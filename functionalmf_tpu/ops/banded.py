@@ -22,6 +22,8 @@ d > t must be zero. All functions broadcast over leading batch dims.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -35,6 +37,27 @@ __all__ = [
     "sample_mvn_block_banded",
     "bands_to_dense",
 ]
+
+
+def _mm_f32(fn):
+    """Trace every matmul inside `fn` at full float32 MXU precision.
+
+    The TPU's default reduced-precision matmul pass (bf16 operands) is
+    acceptable for likelihood evaluation but NOT inside a Cholesky at
+    horseshoe dynamic range (1e-6..1e6 diagonal spread): a ~0.4% relative
+    error in a Schur-complement product routinely flips near-singular
+    pivots indefinite, forcing the Gershgorin repair onto a *materially
+    perturbed* conditional. Observed end-to-end on the flu-trends
+    benchmark at k=10: a handful of retained draws with |Mu| excursions
+    ~100x the posterior spread, wrecking the posterior mean — chip-only
+    (CPU f32 runs of the same chain are clean), gone at full precision.
+    The reference factorizes in f64 CHOLMOD (fast_mvn.py:36-47); full-f32
+    MXU passes are the TPU-native equivalent. CPU/GPU: no-op."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 def _tsolve_right(Lcc, S):
@@ -67,6 +90,7 @@ def build_v_bands(DtLD, G, p: int):
     return bands
 
 
+@_mm_f32
 def block_banded_matvec(bands, x):
     """y = Q x for block-banded symmetric Q; x (..., T, k) -> y (..., T, k)."""
     *batch, T, p1, k, _ = bands.shape
@@ -129,6 +153,7 @@ def bands_to_dense(bands):
     return Q.reshape(tuple(batch) + (T * k, T * k))
 
 
+@_mm_f32
 def block_banded_cholesky(bands, jitter: float = 0.0,
                           psd_attempts: int = 3, psd_eps: float = 1e-4,
                           return_repairs: bool = False):
@@ -264,6 +289,7 @@ def _block_banded_cholesky_once(bands, jitter=0.0):
     return jnp.moveaxis(rows, 0, -4), repaired.sum(0), gersh.sum(0)
 
 
+@_mm_f32
 def block_banded_solve_lower(L, b):
     """Solve L z = b with L block-banded lower; b (..., T, k)."""
     *batch, T, p1, k, _ = L.shape
@@ -288,6 +314,7 @@ def block_banded_solve_lower(L, b):
     return jnp.moveaxis(z, 0, -2)
 
 
+@_mm_f32
 def block_banded_solve_upper(L, b):
     """Solve L^T x = b; b (..., T, k). Reverse scan."""
     *batch, T, p1, k, _ = L.shape
@@ -369,6 +396,7 @@ def retile_bands(bands, B: int):
     return jnp.stack([D, E], axis=-3), T2
 
 
+@_mm_f32
 def sample_mvn_block_banded_retiled(key, bands, mu_part=None, B: int = 32,
                                     equilibrate: bool = True,
                                     base_jitter: float = 1e-4,
@@ -450,6 +478,7 @@ def equilibrate_bands(bands):
     return jnp.stack(scaled, axis=-3), s
 
 
+@_mm_f32
 def sample_mvn_block_banded(key, bands=None, mu_part=None, L=None,
                             jitter=0.0, equilibrate: bool = False,
                             psd_attempts: int = 3,

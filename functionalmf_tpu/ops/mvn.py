@@ -28,6 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functionalmf_tpu.ops.banded import _mm_f32
+
 __all__ = [
     "cholesky_psd",
     "sample_mvn_from_precision",
@@ -36,6 +38,7 @@ __all__ = [
 ]
 
 
+@_mm_f32
 def cholesky_psd(Q, eps: float = 1e-6, attempts: int = 4):
     """Cholesky with unrolled jitter retries (fast_mvn.py:30-72 semantics).
 
@@ -89,6 +92,7 @@ def _cho_solve(L, b):
     return x[..., 0]
 
 
+@_mm_f32
 def sample_mvn_from_precision(
     key,
     Q,
@@ -143,6 +147,7 @@ def sample_mvn_from_precision(
     return x
 
 
+@_mm_f32
 def sample_mvn_from_covariance(
     key,
     S,

@@ -394,6 +394,54 @@ def test_redblack_with_ep_centering(rng):
 
 
 @pytest.mark.slow
+def test_redblack_ep_matches_sequential_ep_posterior(rng):
+    """With EP centering the red-black block precision is the coupled
+    (size*k) system kron(DtLD_blk, I_k) + diag_t(G) — a (t,a)-major packing
+    error there would sample wrong-but-finite conditionals that the
+    trace-time regression test cannot catch. Check posterior means of
+    seq+EP vs redblack+EP agree within MC error."""
+    nembeds = 2
+    n_, m_, T_ = 6, 5, 11
+    rng = np.random.default_rng(17)
+    W = rng.gamma(1, 1, (n_, nembeds)); W[np.triu_indices(nembeds, 1)] = 0
+    V = np.abs(rng.normal(1, .3, (m_, T_, nembeds)))
+    Mu = np.einsum("nk,mtk->nmt", W, V)
+    Y = rng.poisson(Mu).astype(float)
+
+    def pcells(Yd, WV, Wm, Vb, col=None, t0=None, size=None):
+        import jax
+        from jax.scipy.special import gammaln
+        Yb = jax.lax.dynamic_slice_in_dim(Yd[:, col], t0, size, axis=1)
+        rate = jnp.clip(WV, 1e-8, None)
+        Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
+        lp = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.)
+        return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, lp))
+
+    C = np.concatenate([np.eye(T_), np.zeros((T_, 1))], axis=1)
+    W0 = np.abs(rng.normal(1, .2, (n_, nembeds)))
+    W0[np.triu_indices(nembeds, 1)] = 0
+    V0 = np.abs(rng.normal(1, .2, (m_, T_, nembeds)))
+    ep = (Mu + rng.normal(0, 0.1, Mu.shape), np.full(Mu.shape, 8.0))
+    means = {}
+    for sched in ("seq", "redblack"):
+        kw = dict(v_schedule=sched)
+        if sched == "redblack":
+            kw["loglikelihood_cells"] = pcells
+        mod = ConstrainedNonconjugateBayesianTensorFiltering(
+            n_, m_, T_, poisson_loglik, C, nembeds=nembeds, tf_order=0,
+            sigma2_init=0.5, lam2_init=0.1, W_init=W0, V_init=V0,
+            gass_ngrid=40, v_block_size=3, ep_approx=ep, seed=7, **kw)
+        res = mod.run_gibbs(Y, nburn=600, nthin=1, nsamples=600,
+                            verbose=False)
+        mu = np.einsum("znk,zmtk->znmt", res["W"], res["V"])
+        assert mu.min() >= -1e-5
+        means[sched] = mu.mean(0)
+    rel = (np.abs(means["seq"] - means["redblack"]).mean()
+           / np.sqrt((Mu ** 2).mean()))
+    assert rel < 0.12, rel
+
+
+@pytest.mark.slow
 def test_feasibility_invariant_every_draw(rng):
     """Every stored draw must satisfy the constraints. Regression test for a
     precision bug: the W-update constraint matrix A_w = CA (x) V built with

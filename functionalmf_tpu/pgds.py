@@ -1,11 +1,12 @@
-"""Adapter around the optional `apf` package (Schein et al. 2016,
-Poisson-Gamma Dynamical Systems) used as a comparison baseline and NMF
-warm-start source (reference functionalmf/pgds.py:1-78).
+"""PGDS baseline (Schein et al. 2016, Poisson-Gamma Dynamical Systems)
+used as a comparison arm and NMF warm-start source (reference
+functionalmf/pgds.py:1-78).
 
-The apf package is Cython and not a dependency of this framework; calling
-fit_pgds without it raises ImportError, and the politics benchmark degrades
-gracefully (functionalmf_tpu/apps/politics/benchmark.py warm-starts from
-the training tensor instead).
+The reference consumes PGDS through the external Cython `apf` package;
+this framework ships its own TPU-native Gibbs sampler
+(functionalmf_tpu/models/pgds.py) so the baseline runs everywhere.
+`fit_pgds` keeps the reference wrapper's exact signature and return
+shape; pass backend="apf" to use the original package when installed.
 """
 from __future__ import annotations
 
@@ -20,22 +21,46 @@ def fit_pgds(Y, nembeds,
              eps=0.1,           # noninformative gamma prior
              stationary=False,  # global vs local shrinkage
              binary=False,
-             nthreads=3,
+             nthreads=3,        # apf backend only; the native one is jitted
              time_mode=2,       # tensor mode smoothed in time
              nburn=5000, nthin=10, nsamples=500,
-             seed=42, verbose=0):
+             seed=42, verbose=0, backend="native"):
     """Fit PGDS, returning (Mu draws, (W, V, U) factor draws).
 
-    Mirrors reference pgds.py:19-70: burn once, then alternate nthin-step
-    fits with state extraction per retained sample.
+    Mirrors reference pgds.py:19-70's protocol and outputs. The native
+    backend runs the whole burn/thin/sample loop as jitted scans.
     """
+    if backend == "apf":
+        return _fit_pgds_apf(Y, nembeds, gam, tau, eps, stationary, binary,
+                             nthreads, time_mode, nburn, nthin, nsamples,
+                             seed, verbose)
+
+    from functionalmf_tpu.models.pgds import pgds_gibbs
+
+    Y = np.asarray(Y, float)
+    assert Y.ndim == 3, "fit_pgds expects a 3-tensor"
+    Yt = np.moveaxis(Y, time_mode, -1)        # time last for the sampler
+    draws = pgds_gibbs(Yt, nembeds, gam=gam, tau=tau, eps=eps,
+                       stationary=stationary, binary=binary,
+                       nburn=nburn, nthin=nthin, nsamples=nsamples,
+                       seed=seed, verbose=verbose)
+    # rate = delta_t * sum_k a b theta; absorb delta into the time factor
+    U = draws["Theta"] * draws["delta"][..., None]        # (S, T, K)
+    W, V = draws["A"], draws["B"]
+    Mu = np.einsum("sik,sjk,stk->sijt", W, V, U)
+    Mu = np.moveaxis(Mu, -1, time_mode + 1)   # +1: leading sample axis
+    return Mu, (W, V, U)
+
+
+def _fit_pgds_apf(Y, nembeds, gam, tau, eps, stationary, binary, nthreads,
+                  time_mode, nburn, nthin, nsamples, seed, verbose):
     try:
         from apf.models.pgds import PGDS
     except ImportError as e:
         raise ImportError(
-            "fit_pgds requires the optional `apf` package "
-            "(github.com/aschein/apf); install it to run the PGDS baseline"
-        ) from e
+            "backend='apf' requires the optional `apf` package "
+            "(github.com/aschein/apf); the default backend='native' "
+            "needs nothing") from e
 
     mask = np.isnan(Y).astype(int)
     data = np.ma.array(Y, mask=mask)

@@ -119,6 +119,12 @@ def main(argv=None):
                         help="blocked-V schedule; redblack batches all "
                              "same-color time blocks into one GASS call")
     parser.add_argument("--outdir", default=None)
+    parser.add_argument("--pgds-mu", default=None,
+                        help="path to a precomputed PGDS posterior-mean rate "
+                             "tensor (.npy); used as the NMF warm-start "
+                             "target instead of refitting PGDS in-process")
+    parser.add_argument("--no-pgds", action="store_true",
+                        help="skip the PGDS arm; warm-start NMF from Y_train")
     args = parser.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -126,17 +132,19 @@ def main(argv=None):
     nrows, ncols, ndepth = Y.shape
     nembeds = args.nembeds
 
-    # PGDS baseline (optional apf dependency; politics/benchmark.py:74-81)
+    # PGDS baseline (native sampler; reference politics/benchmark.py:74-81)
     Mu_pgds = None
-    try:
+    if args.no_pgds:
+        nmf_target = Y_train
+    elif args.pgds_mu:
+        nmf_target = np.load(args.pgds_mu)
+        assert nmf_target.shape == Y.shape, (nmf_target.shape, Y.shape)
+    else:
         from functionalmf_tpu.pgds import fit_pgds
         Mu_pgds, _ = fit_pgds(Y_train, nembeds, binary=False, nthreads=1,
                               time_mode=2, nburn=args.nburn, nthin=args.nthin,
                               nsamples=args.nsamples, verbose=0)
         nmf_target = np.asarray(Mu_pgds).mean(axis=0)
-    except ImportError:
-        print("apf (PGDS) not installed; warm-starting NMF from the training tensor")
-        nmf_target = Y_train
 
     # constrained Poisson BTF with positivity constraints (benchmark.py:84-97)
     C_zero = np.concatenate([np.eye(ndepth), np.zeros((ndepth, 1))], axis=1)

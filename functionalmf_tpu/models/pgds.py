@@ -112,7 +112,7 @@ def _hyper_logpost(nu, xi, theta1, Pi, tau, gam, eps, beta):
 def pgds_gibbs(Y, nembeds, *, gam=10.0, tau=1.0, eps=0.1,
                stationary=False, binary=False,
                nburn=5000, nthin=10, nsamples=500, seed=42,
-               verbose=0, n_mh=3, mh_step=0.08):
+               verbose=0, n_mh=3, mh_step=0.08, chunk_sweeps=500):
     """Run the PGDS Gibbs sampler on a 3-tensor (time = last axis).
 
     Returns dict of draws: A (S,N,K), B (S,M,K), Theta (S,T,K),
@@ -273,13 +273,37 @@ def pgds_gibbs(Y, nembeds, *, gam=10.0, tau=1.0, eps=0.1,
         state, draws = jax.lax.scan(body, state, thin_keys)
         return state, draws
 
+    # Bound every device execution to ~chunk_sweeps sweeps: one giant
+    # nburn-long scan is a single multi-minute XLA execution, which a
+    # tunneled TPU worker can kill mid-run. Host-sync between chunks.
     kb, kc = jax.random.split(key)
-    state = run_chunk(state, kb, jnp.zeros((max(nburn, 1),)))
-    thin_keys = jax.random.split(kc, nsamples * max(nthin, 1))
-    thin_keys = thin_keys.reshape((nsamples, max(nthin, 1))
-                                  + thin_keys.shape[1:])
-    state, (As, Bs, Ths, Ds) = collect(state, thin_keys)
-    if verbose:
-        print("PGDS: collected {} draws".format(nsamples))
-    return dict(A=np.asarray(As), B=np.asarray(Bs),
-                Theta=np.asarray(Ths), delta=np.asarray(Ds))
+    nthin = max(nthin, 1)
+    chunk = max(int(chunk_sweeps), nthin)
+    nfull, nrem = divmod(max(nburn, 1), chunk)
+    bkeys = jax.random.split(kb, nfull + 1)
+    zfull = jnp.zeros((chunk,))
+    for i in range(nfull):
+        state = jax.block_until_ready(run_chunk(state, bkeys[i], zfull))
+        if verbose:
+            print("PGDS: burn {}/{}".format((i + 1) * chunk, nburn))
+    if nrem:
+        state = jax.block_until_ready(
+            run_chunk(state, bkeys[nfull], jnp.zeros((nrem,))))
+    draws_per_chunk = max(chunk // nthin, 1)
+    acc = dict(A=[], B=[], Theta=[], delta=[])
+    done = 0
+    while done < nsamples:
+        take = min(draws_per_chunk, nsamples - done)
+        kc, kt = jax.random.split(kc)
+        thin_keys = jax.random.split(kt, take * nthin)
+        thin_keys = thin_keys.reshape((take, nthin) + thin_keys.shape[1:])
+        state, (As, Bs, Ths, Ds) = collect(state, thin_keys)
+        jax.block_until_ready(state)
+        for name, arr in zip(("A", "B", "Theta", "delta"),
+                             (As, Bs, Ths, Ds)):
+            acc[name].append(np.asarray(arr))
+        done += take
+        if verbose:
+            print("PGDS: collected {}/{} draws".format(done, nsamples))
+    return {name: np.concatenate(parts, axis=0)
+            for name, parts in acc.items()}

@@ -73,14 +73,21 @@ def resample_tau2_ladder(key, deltas_sq, lam2, tau2, tau2_c, tau2_b, tau2_a,
     Returns updated (tau2, tau2_c, tau2_b, tau2_a).
     """
     lo, hi = stability, 1.0 / stability
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2 = jax.random.split(key)
 
     rate = deltas_sq / (2.0 * lam2) + 1.0 / jnp.clip(tau2_c, lo, hi)
     shape = (nembeds + 1) / 2.0
     tau2 = _inv_gamma(k1, jnp.full(rate.shape, shape), 1.0 / jnp.clip(rate, lo, hi))
-    tau2_c = _inv_gamma(k2, jnp.ones_like(tau2), 1.0 / jnp.clip(1.0 / tau2 + 1.0 / tau2_b, lo, hi))
-    tau2_b = _inv_gamma(k3, jnp.ones_like(tau2), 1.0 / jnp.clip(1.0 / tau2_c + 1.0 / tau2_a, lo, hi))
-    tau2_a = _inv_gamma(k4, jnp.ones_like(tau2), 1.0 / jnp.clip(1.0 / tau2_b + 1.0, lo, hi))
+    # The c/b/a auxiliary levels are all IG(1, rate) = rate / Exp(1). A
+    # Gamma(1,1) variate IS an Exp(1) variate, so one batched exponential
+    # replaces three jax.random.gamma calls — each of those lowers to a
+    # rejection while_loop whose latency dominates this whole block at
+    # (ncols, nD) shapes on TPU (the draws only enter through their scale,
+    # so the ladder's sequential rate dependence costs nothing).
+    e = jax.random.exponential(k2, (3,) + tau2.shape)
+    tau2_c = jnp.clip(1.0 / tau2 + 1.0 / tau2_b, lo, hi) / e[0]
+    tau2_b = jnp.clip(1.0 / tau2_c + 1.0 / tau2_a, lo, hi) / e[1]
+    tau2_a = jnp.clip(1.0 / tau2_b + 1.0, lo, hi) / e[2]
     return tau2, tau2_c, tau2_b, tau2_a
 
 
@@ -99,5 +106,6 @@ def resample_lam2(key, deltas_sq_over_tau2, lam2_a, nD: int, ncols: int,
     rate = 1.0 / lam2_a + deltas_sq_over_tau2 / 2.0
     shape = (nD * ncols * nembeds + 1) / 2.0
     lam2 = jnp.maximum(lam2_min, _inv_gamma(k1, shape, 1.0 / rate))
-    lam2_a = _inv_gamma(k2, 1.0, 1.0 / (1.0 / lam2 + 1.0))
+    # IG(1, r) = r / Exp(1): exponential instead of a gamma rejection loop.
+    lam2_a = (1.0 / lam2 + 1.0) / jax.random.exponential(k2)
     return lam2, lam2_a

@@ -128,7 +128,7 @@ def main():
 
     blocked_sweeps = None
     model_b = None
-    extras = {}
+    extras = {"joint_sweeps_per_sec": round(sweeps_per_sec, 3)}
     try:
         joint_eps, joint_eps_sweep, joint_slow = measure_ess(model)
         extras.update(joint_min_ess_per_sec=round(joint_eps, 4),
@@ -170,21 +170,35 @@ def main():
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench", "baseline_cpu.json")
     vs = vs_ess = None
+    base = None
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        vs = sweeps_per_sec / base["sweeps_per_sec"]
+        vs = (blocked_sweeps if blocked_sweeps is not None
+              else sweeps_per_sec) / base["sweeps_per_sec"]
         if base.get("min_ess_per_sec") and extras.get("blocked_min_ess_per_sec"):
             vs_ess = extras["blocked_min_ess_per_sec"] / base["min_ess_per_sec"]
 
+    # Headline `value` = the DEFAULT shipped config (blocked-V kernel),
+    # falling back to the joint arm only if the blocked run failed; the
+    # reference-parity joint kernel is always reported alongside as
+    # `joint_sweeps_per_sec` (VERDICT round 3 hygiene: the headline must be
+    # the default config, with both arms clearly labeled). vs_baseline for
+    # both arms divides by the same CPU reference-algorithm throughput.
+    headline = blocked_sweeps if blocked_sweeps is not None else sweeps_per_sec
     out = {
         "metric": "gibbs_sweeps_per_sec_gdelt_constrained_poisson",
-        "value": round(sweeps_per_sec, 3),
+        "value": round(headline, 3),
         "unit": "sweeps/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "value_kernel": ("blocked_default" if blocked_sweeps is not None
+                         else "joint_reference_parity"),
     }
     if blocked_sweeps is not None:
         out["blocked_sampler_sweeps_per_sec"] = round(blocked_sweeps, 3)
+        if base is not None:
+            out["joint_vs_baseline"] = round(
+                sweeps_per_sec / base["sweeps_per_sec"], 2)
     out.update(extras)
     if vs_ess is not None:
         out["vs_baseline_min_ess_per_sec"] = round(vs_ess, 2)

@@ -181,24 +181,22 @@ if __name__ == "__main__":
     models.append({"name": "NMF", "fit": Mu_nmf, "samples": Mu_nmf[None]})
 
     # PGDS baseline arms over the reference's tau grid (poisson
-    # example:204-218), graceful-degrade when the optional apf package is
-    # absent (same pattern as apps/politics/benchmark.py)
-    try:
-        from functionalmf_tpu.pgds import fit_pgds
-        for tau in PGDS_TAUS:
-            print(f"Fitting PGDS k={nembeds} tau={tau}")
-            import warnings
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore", category=RuntimeWarning)
-                Mu_pgds, _ = fit_pgds(Y_missing.sum(axis=-1), nembeds,
-                                      nburn=nburn, nthin=nthin,
-                                      nsamples=nsamples, tau=tau, nthreads=1)
-            Mu_pgds = np.asarray(Mu_pgds)
-            models.append({"name": f"PGDS tau={tau}",
-                           "fit": Mu_pgds.mean(axis=0) / Y_missing.shape[-1],
-                           "samples": Mu_pgds})
-    except ImportError:
-        print("apf (PGDS) not installed; skipping the PGDS arms")
+    # example:204-218). fit_pgds defaults to the native from-paper backend
+    # (models/pgds.py), so the arms always run; apf is only an optional
+    # cross-check backend.
+    from functionalmf_tpu.pgds import fit_pgds
+    for tau in PGDS_TAUS:
+        print(f"Fitting PGDS k={nembeds} tau={tau}")
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            Mu_pgds, _ = fit_pgds(Y_missing.sum(axis=-1), nembeds,
+                                  nburn=nburn, nthin=nthin,
+                                  nsamples=nsamples, tau=tau, nthreads=1)
+        Mu_pgds = np.asarray(Mu_pgds)
+        models.append({"name": f"PGDS tau={tau}",
+                       "fit": Mu_pgds.mean(axis=0) / Y_missing.shape[-1],
+                       "samples": Mu_pgds})
 
     # NB-BTF (poisson example:224-244)
     nb = NegativeBinomialBayesianTensorFiltering(

@@ -531,21 +531,18 @@ class BayesianTensorFiltering:
     max_sweeps_per_call = 1024
 
     def _batched_sweep(self, sweep):
-        """sweep over the leading chain axis: vmap for nchains > 1, a free
-        squeeze/unsqueeze for a single chain. Measured on the bench chip
-        (GDELT shape, identical keys, fori-chunk timing): the vmapped
-        1-chain sweep costs ~+60% (3.38 -> 5.34 ms/sweep) because batched
-        lowering turns the lax.cond retry ladders (ops/mvn.py:56,
-        ops/banded.py:151) into execute-both-branches selects and rewrites
-        gathers; tracing the sweep unbatched restores the lazy retries.
-        Draw streams are unchanged: both paths apply the same sweep to the
-        same per-chain key (vmap(f)(k[None]) == f(k)[None])."""
-        if self.nchains == 1 and self.mesh is None:
-            def vsweep(st, pdata, keys):
-                out = sweep({k: v[0] for k, v in st.items()}, pdata, keys[0])
-                return {k: v[None] for k, v in out.items()}
-            return vsweep
-        return jax.vmap(sweep, in_axes=(0, None, 0))
+        """sweep vmapped over the leading chain axis, with the axis *named*
+        (CHAIN_AXIS) so the numerical-retry conds inside the sweep can
+        chain-reduce their predicates (ops/banded.py:chain_reduced_pred)
+        and keep real lazy branches under batching. Round 3 needed a
+        nchains==1 special case here because batched lowering turned the
+        retry ladders into execute-both-branches selects (+60%/sweep at the
+        GDELT shape); with the chain-reduced predicates the vmapped 1-chain
+        sweep times within noise of the unbatched one (bench/chains.py),
+        so the special case is gone. Draw streams are unchanged:
+        vmap(f)(k[None]) == f(k)[None]."""
+        from functionalmf_tpu.ops.banded import CHAIN_AXIS
+        return jax.vmap(sweep, in_axes=(0, None, 0), axis_name=CHAIN_AXIS)
 
     def _get_compiled_chunks(self, nthin, burn_chunk_size, sample_chunk,
                              traced_callback=None, collect_data_keys=()):

@@ -39,6 +39,31 @@ __all__ = [
 ]
 
 
+CHAIN_AXIS = "chains"
+
+
+def chain_reduced_pred(pred):
+    """Reduce a scalar bool over the chain vmap axis so `lax.cond` keeps a
+    real, lazily-executed branch under chain batching.
+
+    The chain-level vmap (models/base.py:_batched_sweep) binds
+    ``axis_name=CHAIN_AXIS``; a `pmin` over that axis yields an *unbatched*
+    predicate, so the retry ladders below stay true conds (skipped when
+    every chain's factor is finite) instead of lowering to
+    execute-both-branches selects. When ANY chain needs a retry all chains
+    re-factor, but the per-element `bad` masks still select the right
+    factors — identical draws, only the (rare) retry cost is shared.
+    Outside the chain vmap this is the identity. This was the single
+    biggest multi-chain throughput leak: the vmapped sweep paid
+    `attempts` extra Cholesky calls per call site per sweep (+60% at the
+    GDELT shape) purely for dead retry branches.
+    """
+    try:
+        return jax.lax.pmin(pred.astype(jnp.int32), CHAIN_AXIS).astype(bool)
+    except NameError:  # not under the chain vmap
+        return pred
+
+
 def _mm_f32(fn):
     """Trace every matmul inside `fn` at full float32 MXU precision.
 
@@ -172,10 +197,10 @@ def block_banded_cholesky(bands, jitter: float = 0.0,
     batch element so a materially perturbed conditional is never silent
     (ADVICE round 1, banded.py:175).
 
-    Note the lax.cond retry skip applies only with an unbatched predicate:
-    under a chain-level vmap (models/base.py vsweep) cond lowers to select
-    and both branches execute. The pivot guard makes that near-free here
-    (the retry branch is dead weight only when inputs are non-finite).
+    The retry predicate is chain-reduced (chain_reduced_pred) so the skip
+    survives the chain-level vmap in models/base.py: the cond stays a real
+    branch and the backstop costs nothing unless some chain's inputs are
+    non-finite.
     """
     L, repaired, gersh = _block_banded_cholesky_once(bands, jitter)
     if psd_attempts > 0:
@@ -196,7 +221,8 @@ def block_banded_cholesky(bands, jitter: float = 0.0,
                 bands_j = bands.at[..., :, 0, :, :].add(eps * eyek)
                 Lr, _, _ = _block_banded_cholesky_once(bands_j, jitter)
                 return jnp.where(bad, Lr, L)
-            return jax.lax.cond(jnp.all(jnp.isfinite(L)), lambda L: L, redo, L)
+            return jax.lax.cond(chain_reduced_pred(jnp.all(jnp.isfinite(L))),
+                                lambda L: L, redo, L)
 
         for a in range(psd_attempts):
             L = retry(a, L)

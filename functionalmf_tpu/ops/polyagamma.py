@@ -17,8 +17,10 @@ correction. PG(b, c) is an infinite convolution (Polson, Scott & Windle
 We draw the first `num_terms` terms exactly and add the *expected value* of
 the discarded tail, computed in closed form from E[PG(b, c)] =
 b / (2c) * tanh(c / 2). The mean is therefore exact for every (b, c); the
-variance is short by the tail variance, which decays like sum_{k>K} k^-4
-(< 3e-7 of the per-term scale at K=64). This family of truncation samplers
+variance is short by the tail variance, which decays like sum_{k>K} k^-4 —
+~1e-4 relative at the default K = num_terms = 16 (KS-validated against an
+exact Devroye sampler in tests/pg_exact.py), < 3e-7 at K=64 for callers
+that want the slack below f32 noise. This family of truncation samplers
 has data-independent shapes and one batched Gamma draw — exactly what the
 TPU wants — unlike Devroye's rejection sampler with data-dependent loop
 lengths.

@@ -84,7 +84,11 @@ def resample_tau2_ladder(key, deltas_sq, lam2, tau2, tau2_c, tau2_b, tau2_a,
     # rejection while_loop whose latency dominates this whole block at
     # (ncols, nD) shapes on TPU (the draws only enter through their scale,
     # so the ladder's sequential rate dependence costs nothing).
-    e = jax.random.exponential(k2, (3,) + tau2.shape)
+    # guard the divisor: exponential() can return exactly 0.0 (uniform in
+    # [0,1) hits 0 with prob ~2^-23 in f32), which would put an inf in the
+    # ladder state for one sweep (ADVICE round 3)
+    e = jnp.maximum(jax.random.exponential(k2, (3,) + tau2.shape),
+                    jnp.finfo(tau2.dtype).tiny)
     tau2_c = jnp.clip(1.0 / tau2 + 1.0 / tau2_b, lo, hi) / e[0]
     tau2_b = jnp.clip(1.0 / tau2_c + 1.0 / tau2_a, lo, hi) / e[1]
     tau2_a = jnp.clip(1.0 / tau2_b + 1.0, lo, hi) / e[2]
@@ -107,5 +111,7 @@ def resample_lam2(key, deltas_sq_over_tau2, lam2_a, nD: int, ncols: int,
     shape = (nD * ncols * nembeds + 1) / 2.0
     lam2 = jnp.maximum(lam2_min, _inv_gamma(k1, shape, 1.0 / rate))
     # IG(1, r) = r / Exp(1): exponential instead of a gamma rejection loop.
-    lam2_a = (1.0 / lam2 + 1.0) / jax.random.exponential(k2)
+    # maximum(..., tiny) guards the prob ~2^-23 exact-zero draw (ADVICE r3).
+    e = jnp.maximum(jax.random.exponential(k2), jnp.finfo(jnp.asarray(lam2).dtype).tiny)
+    lam2_a = (1.0 / lam2 + 1.0) / e
     return lam2, lam2_a

@@ -414,12 +414,18 @@ class BayesianTensorFiltering:
     # chain state and collected draws at chunk boundaries)
     # ------------------------------------------------------------------
     def _save_checkpoint(self, path, state, offset, burn_done, collected,
-                         chunks_out):
+                         chunks_out, pdata=None):
         """Write the chain head (state + counters) atomically, and each
         collected sample chunk to its own write-once file. Chunks are
         immutable after collection, so a run of N chunks does O(N) total
         checkpoint IO (round 1 rewrote every chunk at every boundary:
-        O(N^2) and unbounded npz growth — VERDICT.md Weak #8)."""
+        O(N^2) and unbounded npz growth — VERDICT.md Weak #8).
+
+        With ``pdata`` (traced_callback runs, where the hook mutates the
+        prepared-data pytree that the likelihood reads — e.g. the
+        doseresponse U embeddings, reference fit.py:102-150) the pdata
+        leaves are persisted too, so a resumed run continues from the
+        exact carried data rather than re-preparing from the original."""
         for ci, chunk in enumerate(chunks_out):
             cpath = f"{path}.chunk{ci}.npz"
             if not os.path.exists(cpath):
@@ -430,11 +436,20 @@ class BayesianTensorFiltering:
                    "__collected": collected, "__nchunks_out": len(chunks_out)}
         for k, v in state.items():
             payload["state__" + k] = np.asarray(jax.device_get(v))
+        if pdata is not None:
+            leaves = jax.tree_util.tree_leaves(pdata)
+            payload["__npdata_leaves"] = len(leaves)
+            for i, leaf in enumerate(leaves):
+                payload[f"pdata__{i}"] = np.asarray(jax.device_get(leaf))
         tmp = path + ".tmp.npz"
         np.savez(tmp, **payload)
         os.replace(tmp, path)
 
-    def _load_checkpoint(self, path):
+    def _load_checkpoint(self, path, pdata_template=None):
+        """Returns (state, offset, burn_done, collected, chunks_out, pdata);
+        pdata is None unless the checkpoint carried data leaves AND
+        ``pdata_template`` (a freshly prepared pytree, providing the tree
+        structure) is given."""
         z = np.load(path)
         offset = int(z["__offset"])
         burn_done = int(z["__burn_done"])
@@ -442,6 +457,16 @@ class BayesianTensorFiltering:
         nchunks = int(z["__nchunks_out"])
         state = {k[len("state__"):]: jnp.asarray(z[k])
                  for k in z.files if k.startswith("state__")}
+        pdata = None
+        if pdata_template is not None and "__npdata_leaves" in z.files:
+            n = int(z["__npdata_leaves"])
+            treedef = jax.tree_util.tree_structure(pdata_template)
+            assert treedef.num_leaves == n, (
+                f"checkpoint pdata has {n} leaves but prepare_data(data) "
+                f"yields {treedef.num_leaves}; the data passed to the "
+                "resumed run must have the same structure")
+            leaves = [jnp.asarray(z[f"pdata__{i}"]) for i in range(n)]
+            pdata = jax.tree_util.tree_unflatten(treedef, leaves)
         chunks_out = []
         for ci in range(nchunks):
             cpath = f"{path}.chunk{ci}.npz"
@@ -452,7 +477,7 @@ class BayesianTensorFiltering:
                 pre = f"out{ci}__"
                 chunks_out.append({k[len(pre):]: z[k] for k in z.files
                                    if k.startswith(pre)})
-        return state, offset, burn_done, collected, chunks_out
+        return state, offset, burn_done, collected, chunks_out, pdata
 
     def mark_data_dirty(self):
         """Tell the callback-mode driver that the `data` object changed and
@@ -689,18 +714,18 @@ class BayesianTensorFiltering:
                 collect_data_keys=tuple(collect_data_keys))
 
             checkpoint_path = kwargs.get("checkpoint_path")
-            if has_tc and checkpoint_path:
-                raise NotImplementedError(
-                    "checkpointing does not yet cover traced_callback's "
-                    "data-pytree updates; run without checkpoint_path")
             offset = 0
             burn_done = 0
             chunks_out = []
             collected = 0
             if checkpoint_path and kwargs.get("resume") and \
                     os.path.exists(checkpoint_path):
-                state, offset, burn_done, collected, chunks_out = \
-                    self._load_checkpoint(checkpoint_path)
+                state, offset, burn_done, collected, chunks_out, pd_ck = \
+                    self._load_checkpoint(
+                        checkpoint_path,
+                        pdata_template=pdata if has_tc else None)
+                if pd_ck is not None:
+                    pdata = pd_ck
                 if verbose:
                     print("\tResumed at step {} ({} samples)".format(
                         offset, collected))
@@ -708,7 +733,8 @@ class BayesianTensorFiltering:
             def maybe_checkpoint():
                 if checkpoint_path:
                     self._save_checkpoint(checkpoint_path, state, offset,
-                                          burn_done, collected, chunks_out)
+                                          burn_done, collected, chunks_out,
+                                          pdata=pdata if has_tc else None)
 
             # burn-in, rounded UP to whole chunks (a few extra burn sweeps
             # are harmless and avoid a second compilation for the remainder)

@@ -64,3 +64,48 @@ def test_checkpoint_resume(rng, tmp_path):
                            checkpoint_path=ck, resume=True)
     # resume from a *complete* checkpoint reproduces the run exactly
     np.testing.assert_allclose(resumed["W"], full["W"], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_traced_callback(rng, tmp_path):
+    """Mid-run resume of a traced_callback run is bitwise-identical to an
+    uninterrupted run (VERDICT r3 #4): the hook's cumulative data-pytree
+    updates must be persisted with the chain head, not re-prepared."""
+    import jax
+    import jax.numpy as jnp
+    from functionalmf_tpu import GaussianBayesianTensorFiltering
+
+    Y = rng.normal(size=(4, 3, 5))
+    ck = str(tmp_path / "tc_chain.npz")
+
+    # a hook that accumulates key-dependent multiplicative noise on a data
+    # leaf the sweep reads — resuming without the carried pdata would
+    # restart the accumulation and diverge
+    def tc(state, pdata, key, step):
+        bump = 1.0 + 0.01 * jax.random.normal(key, ())
+        return state, dict(pdata, ysum=pdata["ysum"] * bump)
+
+    def make():
+        m = GaussianBayesianTensorFiltering(4, 3, 5, nembeds=2, seed=7)
+        m.max_sweeps_per_call = 8
+        return m
+
+    full = make().run_gibbs(Y, nburn=16, nthin=1, nsamples=12, verbose=False,
+                            traced_callback=tc,
+                            collect_data_keys=("ysum",))
+
+    # interrupted run: stop after 4 collected samples (burn 16 + 4 steps),
+    # then resume the SAME request from the checkpoint
+    make().run_gibbs(Y, nburn=16, nthin=1, nsamples=4, verbose=False,
+                     traced_callback=tc, collect_data_keys=("ysum",),
+                     checkpoint_path=ck)
+    resumed = make().run_gibbs(Y, nburn=16, nthin=1, nsamples=12,
+                               verbose=False, traced_callback=tc,
+                               collect_data_keys=("ysum",),
+                               checkpoint_path=ck, resume=True)
+
+    # bitwise: the resumed run replays the identical key schedule from the
+    # identical carried (state, pdata)
+    np.testing.assert_array_equal(resumed["W"], full["W"])
+    np.testing.assert_array_equal(resumed["V"], full["V"])
+    np.testing.assert_array_equal(resumed["ysum"], full["ysum"])

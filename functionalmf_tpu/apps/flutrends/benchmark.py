@@ -75,6 +75,16 @@ def main(argv=None):
                              "state (framework extension; the shared-nu2 "
                              "reference parity model undercovers here)")
     parser.add_argument("--outdir", default=None)
+    parser.add_argument("--bnp", action="store_true",
+                        help="fit the BNP-CovReg baseline (Fox & Dunson "
+                             "2015) natively instead of requiring "
+                             "precomputed MATLAB CSVs")
+    parser.add_argument("--bnp-niter", type=int, default=10000,
+                        help="BNP-CovReg Gibbs iterations "
+                             "(runstuff_varinds_flu_states.m:98)")
+    parser.add_argument("--bnp-burn", type=int, default=0,
+                        help="BNP-CovReg burn-in (the reference runner "
+                             "stores from iteration 1)")
     args = parser.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -131,15 +141,56 @@ def main(argv=None):
             np.savetxt(os.path.join(args.outdir, "btf{}_y_lower.csv".format(nembeds)),
                        Y_lower[:, 0], delimiter=",")
 
-    # Fox & Dunson comparison if precomputed CSVs exist (benchmark.py:146-152)
-    bnp = os.path.join(args.data_dir, "flu-states", "bnpcovreg_mu_mean.csv")
-    if os.path.exists(bnp):
-        bnp_mu = np.loadtxt(bnp, delimiter=",")[:, None]
+    # Fox & Dunson comparison arm (reference flutrends/benchmark.py:146-152
+    # reads MATLAB-produced CSVs; --bnp runs the native reimplementation,
+    # apps/flutrends/bnp_covreg.py)
+    bnp_mu = None
+    if args.bnp:
+        from functionalmf_tpu.apps.flutrends.bnp_covreg import fit_bnp_covreg
+        print("Fitting BNP-CovReg (Fox & Dunson 2015), niter={}".format(
+            args.bnp_niter))
+        out = fit_bnp_covreg(Y_train[:, 0, :], niter=args.bnp_niter,
+                             nburn=args.bnp_burn, seed=args.seed,
+                             verbose=True)
+        bnp_mu = out["mu"].mean(axis=0)[:, None]        # (nrows, 1, T)
+        sd = np.sqrt(out["var_diag"])                   # (S, nrows, T)
+        draws = out["mu"][None] + rng.normal(
+            size=(20,) + out["mu"].shape) * sd[None]
+        draws = draws.reshape((-1,) + out["mu"].shape[1:])[:, :, None]
+        bnp_lo = np.percentile(draws, 2.5, axis=0)
+        bnp_hi = np.percentile(draws, 97.5, axis=0)
+        bnp_cov_in = 100 - ((Y[is_in_sample] < bnp_lo[is_in_sample])
+                            | (Y[is_in_sample] > bnp_hi[is_in_sample])).mean() * 100
+        bnp_cov_out = 100 - ((Y[is_held_out] < bnp_lo[is_held_out])
+                             | (Y[is_held_out] > bnp_hi[is_held_out])).mean() * 100
+        if args.outdir:
+            os.makedirs(args.outdir, exist_ok=True)
+            np.savetxt(os.path.join(args.outdir, "bnpcovreg_mu_mean.csv"),
+                       bnp_mu[:, 0], delimiter=",")
+    else:
+        pre = os.path.join(args.data_dir, "flu-states",
+                           "bnpcovreg_mu_mean.csv")
+        if os.path.exists(pre):
+            bnp_mu = np.loadtxt(pre, delimiter=",")[:, None]
+        bnp_cov_in = bnp_cov_out = None
+
+    if bnp_mu is not None:
+        r_in = np.sqrt(np.mean((Y[is_in_sample] - bnp_mu[is_in_sample]) ** 2))
+        r_out = np.sqrt(np.mean((Y[is_held_out] - bnp_mu[is_held_out]) ** 2))
+        m_in = np.mean(np.abs(Y[is_in_sample] - bnp_mu[is_in_sample]))
+        m_out = np.mean(np.abs(Y[is_held_out] - bnp_mu[is_held_out]))
         print("Fox and Dunson (2015)")
-        print("In-sample  RMSE: {:.2f}".format(
-            np.sqrt(np.mean((Y[is_in_sample] - bnp_mu[is_in_sample]) ** 2))))
-        print("Out-sample RMSE: {:.2f}".format(
-            np.sqrt(np.mean((Y[is_held_out] - bnp_mu[is_held_out]) ** 2))))
+        print("In-sample  RMSE: {:.2f}".format(r_in))
+        print("Out-sample RMSE: {:.2f}".format(r_out))
+        print("In-sample   MAE: {:.2f}".format(m_in))
+        print("Out-sample  MAE: {:.2f}".format(m_out))
+        table["bnp_covreg"] = dict(rmse_in=r_in, rmse_out=r_out,
+                                   mae_in=m_in, mae_out=m_out)
+        if bnp_cov_in is not None:
+            print("In-sample  coverage: {:.2f}%".format(bnp_cov_in))
+            print("Out-sample coverage: {:.2f}%".format(bnp_cov_out))
+            table["bnp_covreg"].update(cov_in=bnp_cov_in,
+                                       cov_out=bnp_cov_out)
     return table
 
 

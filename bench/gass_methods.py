@@ -225,6 +225,32 @@ def main():
                  for si in range(nsizes)]
         print(f"  {m:5s} " + " | ".join(cells))
 
+    import json
+    out = {
+        "ntrials": int(ntrials),
+        "sample_sizes": [int(s) for s in sample_sizes],
+        "methods": methods,
+        "mse_x1e3_mean": {m: [round(float(mse[:, si, mi].mean()), 3)
+                              for si in range(nsizes)]
+                          for mi, m in enumerate(methods)},
+        "mse_x1e3_stderr": {m: [round(float(mse[:, si, mi].std()
+                                            / np.sqrt(ntrials)), 3)
+                                for si in range(nsizes)]
+                            for mi, m in enumerate(methods)},
+        "coverage90_mean": {m: [round(float(cov[:, si, mi].mean()), 3)
+                                for si in range(nsizes)]
+                            for mi, m in enumerate(methods)},
+        "coverage90_stderr": {m: [round(float(cov[:, si, mi].std()
+                                              / np.sqrt(ntrials)), 3)
+                                  for si in range(nsizes)]
+                              for mi, m in enumerate(methods)},
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "gass_methods.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {path}")
+
 
 if __name__ == "__main__":
     main()

@@ -29,7 +29,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nchains", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--nsweeps", type=int, default=400)
-    ap.add_argument("--kernel", default="blocked", choices=["blocked", "joint"])
+    ap.add_argument("--kernel", nargs="+", default=["blocked"],
+                    choices=["blocked", "joint", "redblack"])
     args = ap.parse_args()
 
     import importlib.util
@@ -47,42 +48,52 @@ def main():
     V0 = np.abs(rng.normal(1, 0.2, size=(NC, ND, K)))
     Y = rng.poisson(np.einsum("nk,mtk->nmt", W0, V0)).astype(float)
     Constraints = np.concatenate([np.eye(ND), np.zeros((ND, 1))], axis=1)
-    kw = dict(nembeds=K, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
-              W_init=W0, V_init=V0, gass_ngrid=100, seed=0)
-    if args.kernel == "joint":
-        kw["v_block_size"] = None
-    else:
-        kw["loglikelihood_block"] = bench.poisson_loglik_block
 
-    rows = []
-    for c in args.nchains:
-        model = ConstrainedNonconjugateBayesianTensorFiltering(
-            NR, NC, ND, bench.poisson_loglik, Constraints, nchains=c, **kw)
-        # compile + warm with the same static signature as the timed call
-        model.run_gibbs(Y, nburn=args.nsweeps - 1, nthin=1, nsamples=1,
-                        verbose=False)
-        t0 = time.time()
-        model.run_gibbs(Y, nburn=args.nsweeps - 1, nthin=1, nsamples=1,
-                        verbose=False)
-        dt = time.time() - t0
-        row = {
-            "nchains": c,
-            "sweeps_per_sec": round(args.nsweeps / dt, 1),
-            "chain_sweeps_per_sec": round(c * args.nsweeps / dt, 1),
-            "ms_per_sweep": round(dt / args.nsweeps * 1e3, 3),
-        }
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+    kernels = {}
+    for kernel in args.kernel:
+        kw = dict(nembeds=K, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
+                  W_init=W0, V_init=V0, gass_ngrid=100, seed=0)
+        if kernel == "joint":
+            kw["v_block_size"] = None
+        elif kernel == "redblack":
+            kw["v_schedule"] = "redblack"
+            kw["loglikelihood_cells"] = bench.poisson_loglik_cells
+        else:
+            kw["loglikelihood_block"] = bench.poisson_loglik_block
 
-    base = rows[0]["sweeps_per_sec"]
-    for r in rows:
-        r["efficiency_vs_1chain"] = round(
-            r["chain_sweeps_per_sec"] / (base * r["nchains"]), 3)
-    out = {"kernel": args.kernel, "nsweeps": args.nsweeps, "rows": rows}
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "chains.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        rows = []
+        for c in args.nchains:
+            model = ConstrainedNonconjugateBayesianTensorFiltering(
+                NR, NC, ND, bench.poisson_loglik, Constraints, nchains=c,
+                **kw)
+            # compile + warm with the same static signature as the timed call
+            model.run_gibbs(Y, nburn=args.nsweeps - 1, nthin=1, nsamples=1,
+                            verbose=False)
+            t0 = time.time()
+            model.run_gibbs(Y, nburn=args.nsweeps - 1, nthin=1, nsamples=1,
+                            verbose=False)
+            dt = time.time() - t0
+            row = {
+                "nchains": c,
+                "sweeps_per_sec": round(args.nsweeps / dt, 1),
+                "chain_sweeps_per_sec": round(c * args.nsweeps / dt, 1),
+                "ms_per_sweep": round(dt / args.nsweeps * 1e3, 3),
+            }
+            rows.append(row)
+            print(json.dumps({"kernel": kernel, **row}), flush=True)
+
+        base = rows[0]["sweeps_per_sec"]
+        for r in rows:
+            r["efficiency_vs_1chain"] = round(
+                r["chain_sweeps_per_sec"] / (base * r["nchains"]), 3)
+        kernels[kernel] = rows
+
+        # write incrementally so partial sweeps survive a timeout
+        out = {"nsweeps": args.nsweeps, "kernels": kernels}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "chains.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 

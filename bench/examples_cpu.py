@@ -23,6 +23,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# honor a CPU request through the config (the plain env var is not enough
+# in images where the TPU plugin is preloaded via PYTHONPATH)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 from functionalmf_tpu.utils import ilogit, mae, mse, coverage_at  # noqa: E402
 
 import examples.gaussian_tensor_filtering as gex  # noqa: E402

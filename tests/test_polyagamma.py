@@ -141,6 +141,23 @@ def test_pg_ks_fractional_b():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("b", [49.0, 50.0, 64.0])
+def test_pg_ks_normal_threshold_neighborhood(b):
+    """The b ~ normal_approx_above=50 crossover: b=49 is the last gamma-sum
+    case, b=50 the first normal-branch case, b=64 the worst measured KS in
+    a threshold scan (0.036 at c=0.5, at the alpha=0.01 critical value —
+    the CLT skew O(b^-1/2) ~ 0.13 is the dominant error there and decays
+    with b). Ground truth: sums of b exact PG(1, c) draws."""
+    n = 4000
+    rng = np.random.default_rng(13)
+    for c in (0.5, 2.0):
+        exact = exact_pg(rng, int(b), c, n)
+        ours = np.asarray(polya_gamma(jax.random.PRNGKey(int(b) * 7 + int(c * 10)),
+                                      jnp.full((n,), b), jnp.full((n,), c)))
+        _ks_assert(ours, exact, n)
+
+
+@pytest.mark.slow
 def test_pg_ks_normal_branch_b500():
     """The politics regime (factor.py:553 makes b = sum(Y + R), data max
     461): b=500 routes through the moment-matched normal branch. Ground

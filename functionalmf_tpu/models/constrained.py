@@ -233,7 +233,49 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
     # ------------------------------------------------------------------
     # W update: vmapped GASS over rows (factor.py:665-757, 984-991)
     # ------------------------------------------------------------------
+    def _mp_spec(self):
+        """(axis_name, size) when a model-parallel mesh axis is active."""
+        if self.mesh is None:
+            return None
+        from functionalmf_tpu.parallel.mesh import MP_AXIS
+        if MP_AXIS not in self.mesh.axis_names:
+            return None
+        size = int(self.mesh.shape[MP_AXIS])
+        return (MP_AXIS, size) if size > 1 else None
+
+    @staticmethod
+    def _data_shardable(data, axis, size):
+        leaves = jax.tree_util.tree_leaves(data)
+        return bool(leaves) and all(
+            getattr(lf, "ndim", 0) > axis and lf.shape[axis] % size == 0
+            for lf in leaves)
+
+    @staticmethod
+    def _data_specs(data, axis_pos, axis_name):
+        from jax.sharding import PartitionSpec as P
+
+        def spec(lf):
+            dims = [None] * lf.ndim
+            dims[axis_pos] = axis_name
+            return P(*dims)
+        return jax.tree_util.tree_map(spec, data)
+
     def _update_W_gass(self, state, data, key):
+        """GASS over rows (factor.py:665-757, 984-991).
+
+        Under an mp mesh axis the row fan-out runs inside an explicit
+        `jax.shard_map` region — the TPU equivalent of the reference's
+        per-row worker ownership (factor.py:984-991). Measured rationale
+        (bench/mp_hlo.json, round 4): left to GSPMD, the traced-index data
+        gather inside the vmapped likelihood makes the partitioner
+        replicate the whole candidate chain — 274 MB/sweep of all-gathers
+        at GDELT shape. Explicit SPMD keeps candidates row-local; the only
+        cross-shard term is the (m*J, k) constraint matrix assembled from
+        all of V (einsum below), which shard_map all-gathers at ~100 KB.
+        All randomness (v_all, per-row keys) is drawn OUTSIDE the region
+        with global-index folds, so the sharded path reproduces the
+        unsharded draw stream exactly (tests/test_parallel.py).
+        """
         n, m, T, k = self.nrows, self.ncols, self.ndepth, self.nembeds
         V = state["V"]
         sigma2 = state["sigma2"]
@@ -249,18 +291,18 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         _hp = jax.lax.Precision.HIGHEST
         A_base = jnp.einsum("jt,mta->mja", CA, V,
                             precision=_hp).reshape(m * self.nconstraints, k)
-        c_base = np.tile(np.asarray(CC), m)  # trace-time host constant
+        c_base = jnp.asarray(np.tile(np.asarray(CC), m))
         if self._has_row_constraints:
             RC = state["Row_constraints"]
             A_base = jnp.concatenate([A_base, RC[:, :k]], axis=0)
-            c_base = jnp.concatenate([jnp.asarray(c_base), RC[:, k]], axis=0)
+            c_base = jnp.concatenate([c_base, RC[:, k]], axis=0)
 
         mask = self._wmask  # (n, k)
         eye = np.eye(k, dtype=np.float32)
 
         # Proposal Gaussian: EP-centered GLS or the isotropic prior
         # (factor.py:677-687). EP tensors go to device once here (they are
-        # indexed by traced row ids inside the vmap below).
+        # indexed by row position inside the core below).
         if self.Mu_ep is not None:
             Mu_ep_d = jnp.asarray(self.Mu_ep, self.dtype)
             Sigma_ep_d = jnp.asarray(self.Sigma_ep, self.dtype)
@@ -278,44 +320,77 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
             mu_all = jax.vmap(lambda Lq, b: jax.scipy.linalg.cho_solve((Lq, True), b))(
                 L, mu_part)
         else:
+            Mu_ep_d = Sigma_ep_d = None
             Q = jnp.broadcast_to(eye / sigma2, (n, k, k))
             mu_all = jnp.zeros((n, k), self.dtype)
 
         # one batched prior draw for all rows
         v_all = sample_mvn_from_precision(_fold(key, 0), Q,
                                           **self.linalg_opts) * mask
+        keys = jax.vmap(lambda i: _fold(key, 1, i))(
+            jnp.arange(n, dtype=jnp.uint32))
 
-        data_c = data
         user_ll = self.loglikelihood
         has_ep = self.Mu_ep is not None
-        Mu_ep = Mu_ep_d if has_ep else None
-        Sigma_ep = Sigma_ep_d if has_ep else None
+        ngrid, method = self.gass_ngrid, self.gass_method
 
-        def row_gass(i, w_i, dmask, mu_i, v_i, k_i):
-            A_i = A_base * dmask[None, :]
+        def rows_core(W_rows, rmask, mu_rows, v_rows, krows, data_r,
+                      mu_ep_r, sig_ep_r, A_base, c_base, V):
+            """GASS over a row block; data_r / EP slices are row-aligned
+            with W_rows, so in-likelihood `row` indices are positions
+            within the block (the contract indexes the data argument)."""
+            nr = W_rows.shape[0]
 
-            def loglik(cands):  # (G, k) -> (G,)
-                w = cands * dmask[None, :]
-                tau = jnp.einsum("gk,mtk->gmt", w, V)
+            def row_gass(i, w_i, dmask, mu_i, v_i, k_i):
+                A_i = A_base * dmask[None, :]
 
-                def one(tau_g, w_g):
-                    ll = user_ll(data_c, tau_g, w_g, V, row=i, col=None)
-                    if has_ep:
-                        ll = ll - _ep_logpdf(tau_g, Mu_ep[i], Sigma_ep[i])
-                    return ll
+                def loglik(cands):  # (G, k) -> (G,)
+                    w = cands * dmask[None, :]
+                    tau = jnp.einsum("gk,mtk->gmt", w, V)
 
-                return jax.vmap(one)(tau, w)
+                    def one(tau_g, w_g):
+                        ll = user_ll(data_r, tau_g, w_g, V, row=i, col=None)
+                        if has_ep:
+                            ll = ll - _ep_logpdf(tau_g, mu_ep_r[i],
+                                                 sig_ep_r[i])
+                        return ll
 
-            x_new, _ = gass(k_i, w_i, None, loglik, A_i, c_base,
-                            mu=mu_i, ngrid=self.gass_ngrid,
-                            dim_mask=dmask, v=v_i,
-                            method=self.gass_method)
-            return x_new
+                    return jax.vmap(one)(tau, w)
 
-        keys = jax.vmap(lambda i: _fold(key, 1, i))(np.arange(n, dtype=np.uint32))
-        W_new = jax.vmap(row_gass)(np.arange(n), state["W"], mask, mu_all,
-                                   v_all, keys)
-        return dict(state, W=(W_new * mask).astype(self.dtype))
+                x_new, _ = gass(k_i, w_i, None, loglik, A_i, c_base,
+                                mu=mu_i, ngrid=ngrid,
+                                dim_mask=dmask, v=v_i, method=method)
+                return x_new
+
+            W_new = jax.vmap(row_gass)(jnp.arange(nr), W_rows, rmask,
+                                       mu_rows, v_rows, krows)
+            return W_new * rmask
+
+        mask_d = jnp.asarray(mask)
+        mp = self._mp_spec()
+        if (mp is not None and n % mp[1] == 0
+                and self._data_shardable(data, 0, mp[1])):
+            axis = mp[0]
+            from jax.sharding import PartitionSpec as P
+            rspec = P(axis)
+            ep_in = ((self._data_specs(Mu_ep_d, 0, axis),
+                      self._data_specs(Sigma_ep_d, 0, axis))
+                     if has_ep else (P(), P()))
+            zero = jnp.zeros((), self.dtype)
+            sm = jax.shard_map(
+                rows_core, mesh=self.mesh,
+                in_specs=(rspec, rspec, rspec, rspec, rspec,
+                          self._data_specs(data, 0, axis),
+                          ep_in[0], ep_in[1], P(), P(), P()),
+                out_specs=rspec, check_vma=False)
+            W_new = sm(state["W"], mask_d, mu_all, v_all, keys, data,
+                       Mu_ep_d if has_ep else zero,
+                       Sigma_ep_d if has_ep else zero,
+                       A_base, c_base, V)
+        else:
+            W_new = rows_core(state["W"], mask_d, mu_all, v_all, keys, data,
+                              Mu_ep_d, Sigma_ep_d, A_base, c_base, V)
+        return dict(state, W=W_new.astype(self.dtype))
 
     # ------------------------------------------------------------------
     # V update: vmapped GASS over columns (factor.py:759-892, 993-1000)
@@ -345,183 +420,243 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
           * The conditional precision of a block is a direct slice
             DtLD[s0:e0, s0:e0] (+ the EP Gram on its t-diagonal) — the prior
             couples blocks only through DtLD, the EP Gram is t-diagonal.
+          * Under an mp mesh axis the column fan-out runs inside an
+            explicit `jax.shard_map` region (the reference's per-column
+            worker ownership, factor.py:993-1000): columns are mutually
+            independent given W, so the region needs NO collectives at
+            all — W enters replicated, data/EP enter column-sharded.
+            Left to GSPMD, the traced-index data gather in the likelihood
+            replicated the whole (m, G, T, k) candidate chain — 274
+            MB/sweep of all-gathers at GDELT shape (bench/mp_hlo.json).
+            Randomness (block z's, per-column keys) is drawn OUTSIDE the
+            region with global-index folds: sharded == unsharded draws.
         """
         from functionalmf_tpu.ops.mvn import _cho_solve, cholesky_psd
 
         n, m, T, k = self.nrows, self.ncols, self.ndepth, self.nembeds
         W = state["W"] * self._wmask
         CA, CC = self.Constraints_A, self.Constraints_C
+        _hp = jax.lax.Precision.HIGHEST
 
-        DtLD = self._v_prior_dtld(state["lam2"], state["Tau2"])  # (m, T, T)
-        _hp0 = jax.lax.Precision.HIGHEST
         if self.Mu_ep is not None:
-            # EP tensors to device once (indexed by traced column ids below)
             Mu_ep_d = jnp.asarray(self.Mu_ep, self.dtype)
             Sigma_ep_d = jnp.asarray(self.Sigma_ep, self.dtype)
-            # HIGHEST: the proposal Gaussian must match the EP factor that
-            # the acceptance divides out analytically (_ep_logpdf)
-            Sinv2 = 1.0 / (Sigma_ep_d ** 2)
-            Sinv2 = jnp.where(jnp.isnan(Mu_ep_d), 0.0, Sinv2)
-            Mu0 = jnp.where(jnp.isnan(Mu_ep_d), 0.0, Mu_ep_d)
-            G = jnp.einsum("ijt,ia,ib->jtab", Sinv2, W, W,
-                           precision=_hp0)                       # (m, T, k, k)
-            mu_part = jnp.einsum("ijt,ia->jta", Mu0 * Sinv2, W,
-                                 precision=_hp0)                 # (m, T, k)
         else:
-            G = None
-            mu_part = jnp.zeros((m, T, k), self.dtype)
+            Mu_ep_d = Sigma_ep_d = None
 
         data_c = data
         user_ll = self.loglikelihood
         user_ll_blk = self.loglikelihood_block
         has_ep = self.Mu_ep is not None
-        Mu_ep = Mu_ep_d if has_ep else None
-        Sigma_ep = Sigma_ep_d if has_ep else None
+        ngrid, method = self.gass_ngrid, self.gass_method
+        linalg_opts = self.linalg_opts
+        CA_np, CC_np = self._CA_np, np.asarray(CC)
+        dtype = self.dtype
+        dtld_fn = self._v_prior_dtld  # full-f32 matmul scoping (base.py)
 
         bs = self.v_block_size or T
-        X = state["V"]  # (m, T, k)
-        for bi, s0 in enumerate(range(0, T, bs)):
-            e0 = min(s0 + bs, T)
-            size = e0 - s0
+        blocks = [(bi, s0, min(s0 + bs, T))
+                  for bi, s0 in enumerate(range(0, T, bs))]
 
-            # ---- conditional Gaussian of the block given the rest ----
-            # (HIGHEST precision: the horseshoe gives DtLD a 1e-6..1e6
-            # dynamic range, and the ellipse center must be the exact
-            # conditional mean for the slice sampler to target the right
-            # distribution — a reduced-precision MXU pass biases it)
-            _hp = jax.lax.Precision.HIGHEST
-            DtLD_blk = DtLD[:, s0:e0, s0:e0]                     # (m, size, size)
-            X_out = X.at[:, s0:e0].set(0.0)
-            cross = jnp.einsum("mts,msk->mtk", DtLD[:, s0:e0, :], X_out,
-                               precision=_hp)
-            rhs_tk = mu_part[:, s0:e0] - cross                   # (m, size, k)
-            z = jax.random.normal(_fold(key, 2, bi), (m, size, k), self.dtype)
+        # all randomness, drawn with GLOBAL column folds (stream parity
+        # between the sharded and unsharded paths)
+        zs = tuple(jax.random.normal(_fold(key, 2, bi), (m, e0 - s0, k),
+                                     dtype)
+                   for bi, s0, e0 in blocks)
+        gkeys = tuple(jax.vmap(lambda j, bi=bi: _fold(key, 3, bi, j))(
+            jnp.arange(m, dtype=jnp.uint32)) for bi, s0, e0 in blocks)
+
+        def cols_core(X, Tau2, lam2, W, data_c, mu_ep_c, sig_ep_c,
+                      zs, gkeys):
+            """Blocked GASS over a column block; data/EP slices are
+            column-aligned with X, so in-likelihood `col` indices are
+            positions within the block."""
+            mm = X.shape[0]
+            DtLD = dtld_fn(lam2, Tau2)                       # (mm, T, T)
             if has_ep:
-                # coupled (size*k) system: kron-embed DtLD_blk, add the EP
-                # Gram on the t-diagonal (t-major packing)
-                Qd = jnp.einsum("mts,ab->mtasb", DtLD_blk,
-                                np.eye(k, dtype=np.float32), precision=_hp)
-                Qd = Qd + jnp.einsum("mtab,ts->mtasb", G[:, s0:e0],
-                                     np.eye(size, dtype=np.float32),
-                                     precision=_hp)
-                Qbb = Qd.reshape(m, size * k, size * k)
-                rhs = rhs_tk.reshape(m, size * k)
-                d = jnp.diagonal(Qbb, axis1=-2, axis2=-1)
-                dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
-                Qe = Qbb * dinv[:, :, None] * dinv[:, None, :]
-                L = cholesky_psd(Qe, eps=self.linalg_opts["force_psd_eps"],
-                                 attempts=self.linalg_opts["force_psd_attempts"])
-                mu_b = (_cho_solve(L, rhs * dinv) * dinv).reshape(m, size, k)
-                v_b = (jax.lax.linalg.triangular_solve(
-                    L, (z.reshape(m, size * k))[..., None], left_side=True,
-                    lower=True, transpose_a=True)[..., 0]
-                    * dinv).reshape(m, size, k)
+                Sinv2 = 1.0 / (sig_ep_c ** 2)
+                Sinv2 = jnp.where(jnp.isnan(mu_ep_c), 0.0, Sinv2)
+                Mu0 = jnp.where(jnp.isnan(mu_ep_c), 0.0, mu_ep_c)
+                G = jnp.einsum("ijt,ia,ib->jtab", Sinv2, W, W,
+                               precision=_hp)               # (mm, T, k, k)
+                mu_part = jnp.einsum("ijt,ia->jta", Mu0 * Sinv2, W,
+                                     precision=_hp)         # (mm, T, k)
             else:
-                # without EP the conditional precision is kron(I_k, DtLD_blk):
-                # factor (m, size, size) once, solve all k embeddings as RHS
-                d = jnp.diagonal(DtLD_blk, axis1=-2, axis2=-1)
-                dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
-                Qe = DtLD_blk * dinv[:, :, None] * dinv[:, None, :]
-                L = cholesky_psd(Qe, eps=self.linalg_opts["force_psd_eps"],
-                                 attempts=self.linalg_opts["force_psd_attempts"])
-                y = jax.lax.linalg.triangular_solve(
-                    L, rhs_tk * dinv[..., None], left_side=True, lower=True)
-                mu_b = jax.lax.linalg.triangular_solve(
-                    L, y, left_side=True, lower=True,
-                    transpose_a=True) * dinv[..., None]
-                v_b = jax.lax.linalg.triangular_solve(
-                    L, z, left_side=True, lower=True,
-                    transpose_a=True) * dinv[..., None]
+                G = None
+                mu_part = jnp.zeros((mm, T, k), dtype)
 
-            # ---- constraints restricted to the block (factor.py:847-854,
-            # in block coordinates). Only rows whose support intersects the
-            # block can change; frozen coordinates fold into the offsets.
-            rel = np.nonzero(np.abs(self._CA_np[:, s0:e0]).sum(axis=1) > 0)[0]
-            if len(rel) == 0:
-                # one trivially satisfied row keeps static shapes non-empty
-                A_op = lambda y: jnp.zeros((1,), self.dtype)  # noqa: E731
-                c_cols = np.full((m, 1), -1.0, np.float32)
-            else:
-                # host-side constant slicing (CA/CC are numpy): no eager
-                # device ops per block per trace
-                CA_blk = CA[rel][:, s0:e0]                  # (J_rel, size)
-                CA_out = CA[rel].copy()                     # (J_rel, T)
-                CA_out[:, s0:e0] = 0.0
+            for bi, s0, e0 in blocks:
+                size = e0 - s0
 
-                def A_op(y):  # (size*k,) -> (n*J_rel,)
-                    M = jnp.dot(CA_blk, y.reshape(size, k), precision=_hp)
-                    return jnp.dot(W, M.T, precision=_hp).reshape(-1)
-
-                # frozen contribution per column: tau_out = W X_j_out^T
-                tau_out = jnp.einsum("mtk,nk->mnt", X_out, W,
-                                     precision=_hp)        # (m, n, T)
-                frozen = jnp.einsum("mnt,jt->mnj", tau_out, CA_out,
+                # ---- conditional Gaussian of the block given the rest ----
+                # (HIGHEST precision: the horseshoe gives DtLD a 1e-6..1e6
+                # dynamic range, and the ellipse center must be the exact
+                # conditional mean for the slice sampler to target the right
+                # distribution — a reduced-precision MXU pass biases it)
+                DtLD_blk = DtLD[:, s0:e0, s0:e0]             # (mm, size, size)
+                X_out = X.at[:, s0:e0].set(0.0)
+                cross = jnp.einsum("mts,msk->mtk", DtLD[:, s0:e0, :], X_out,
+                                   precision=_hp)
+                rhs_tk = mu_part[:, s0:e0] - cross           # (mm, size, k)
+                z = zs[bi]
+                if has_ep:
+                    # coupled (size*k) system: kron-embed DtLD_blk, add the
+                    # EP Gram on the t-diagonal (t-major packing)
+                    Qd = jnp.einsum("mts,ab->mtasb", DtLD_blk,
+                                    np.eye(k, dtype=np.float32),
                                     precision=_hp)
-                c_cols = (CC[rel][None, None, :] - frozen).reshape(
-                    m, n * len(rel))
+                    Qd = Qd + jnp.einsum("mtab,ts->mtasb", G[:, s0:e0],
+                                         np.eye(size, dtype=np.float32),
+                                         precision=_hp)
+                    Qbb = Qd.reshape(mm, size * k, size * k)
+                    rhs = rhs_tk.reshape(mm, size * k)
+                    d = jnp.diagonal(Qbb, axis1=-2, axis2=-1)
+                    dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+                    Qe = Qbb * dinv[:, :, None] * dinv[:, None, :]
+                    L = cholesky_psd(Qe, eps=linalg_opts["force_psd_eps"],
+                                     attempts=linalg_opts["force_psd_attempts"])
+                    mu_b = (_cho_solve(L, rhs * dinv) * dinv).reshape(
+                        mm, size, k)
+                    v_b = (jax.lax.linalg.triangular_solve(
+                        L, (z.reshape(mm, size * k))[..., None],
+                        left_side=True, lower=True,
+                        transpose_a=True)[..., 0]
+                        * dinv).reshape(mm, size, k)
+                else:
+                    # without EP the conditional precision is
+                    # kron(I_k, DtLD_blk): factor (mm, size, size) once,
+                    # solve all k embeddings as RHS
+                    d = jnp.diagonal(DtLD_blk, axis1=-2, axis2=-1)
+                    dinv = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+                    Qe = DtLD_blk * dinv[:, :, None] * dinv[:, None, :]
+                    L = cholesky_psd(Qe, eps=linalg_opts["force_psd_eps"],
+                                     attempts=linalg_opts["force_psd_attempts"])
+                    y = jax.lax.linalg.triangular_solve(
+                        L, rhs_tk * dinv[..., None], left_side=True,
+                        lower=True)
+                    mu_b = jax.lax.linalg.triangular_solve(
+                        L, y, left_side=True, lower=True,
+                        transpose_a=True) * dinv[..., None]
+                    v_b = jax.lax.linalg.triangular_solve(
+                        L, z, left_side=True, lower=True,
+                        transpose_a=True) * dinv[..., None]
 
-            def make_col_gass(A_op, s0, e0, size):
-                def col_gass(j, xb_j, mu_j, v_j, c_j, x_full_j, k_j):
-                    def loglik(cands):  # (G, size*k) -> (G,)
-                        Vg_blk = cands.reshape(-1, size, k)
-                        if user_ll_blk is not None:
-                            tau = jnp.einsum("gtk,nk->gnt", Vg_blk, W)
+                # ---- constraints restricted to the block (factor.py:847-854,
+                # in block coordinates). Only rows whose support intersects
+                # the block can change; frozen coordinates fold into the
+                # offsets.
+                rel = np.nonzero(
+                    np.abs(CA_np[:, s0:e0]).sum(axis=1) > 0)[0]
+                if len(rel) == 0:
+                    # one trivially satisfied row keeps static shapes
+                    A_op = lambda y: jnp.zeros((1,), dtype)  # noqa: E731
+                    c_cols = jnp.full((mm, 1), -1.0, jnp.float32)
+                else:
+                    # host-side constant slicing (CA/CC are numpy): no eager
+                    # device ops per block per trace
+                    CA_blk = CA[rel][:, s0:e0]               # (J_rel, size)
+                    CA_out = CA[rel].copy()                  # (J_rel, T)
+                    CA_out[:, s0:e0] = 0.0
 
-                            def one(tau_g, Vb_g):
-                                ll = user_ll_blk(data_c, tau_g, W, Vb_g,
-                                                 row=None, col=j,
-                                                 tslice=(s0, e0))
+                    def A_op(y):  # (size*k,) -> (n*J_rel,)
+                        M = jnp.dot(CA_blk, y.reshape(size, k),
+                                    precision=_hp)
+                        return jnp.dot(W, M.T, precision=_hp).reshape(-1)
+
+                    # frozen contribution per column: tau_out = W X_j_out^T
+                    tau_out = jnp.einsum("mtk,nk->mnt", X_out, W,
+                                         precision=_hp)     # (mm, n, T)
+                    frozen = jnp.einsum("mnt,jt->mnj", tau_out, CA_out,
+                                        precision=_hp)
+                    c_cols = (CC_np[rel][None, None, :] - frozen).reshape(
+                        mm, n * len(rel))
+
+                def make_col_gass(A_op, s0, e0, size):
+                    def col_gass(j, xb_j, mu_j, v_j, c_j, x_full_j, k_j):
+                        def loglik(cands):  # (G, size*k) -> (G,)
+                            Vg_blk = cands.reshape(-1, size, k)
+                            if user_ll_blk is not None:
+                                tau = jnp.einsum("gtk,nk->gnt", Vg_blk, W)
+
+                                def one(tau_g, Vb_g):
+                                    ll = user_ll_blk(data_c, tau_g, W, Vb_g,
+                                                     row=None, col=j,
+                                                     tslice=(s0, e0))
+                                    if has_ep:
+                                        ll = ll - _ep_logpdf(
+                                            tau_g, mu_ep_c[:, j, s0:e0],
+                                            sig_ep_c[:, j, s0:e0])
+                                    return ll
+
+                                return jax.vmap(one)(tau, Vg_blk)
+                            # full-V candidates by static concatenation (a
+                            # vmapped scatter into a broadcast lowers poorly)
+                            Gn = Vg_blk.shape[0]
+                            parts = []
+                            if s0 > 0:
+                                parts.append(jnp.broadcast_to(
+                                    x_full_j[:s0], (Gn, s0, k)))
+                            parts.append(Vg_blk)
+                            if e0 < T:
+                                parts.append(jnp.broadcast_to(
+                                    x_full_j[e0:], (Gn, T - e0, k)))
+                            Vg = parts[0] if len(parts) == 1 else \
+                                jnp.concatenate(parts, axis=1)
+                            tau = jnp.einsum("gtk,nk->gnt", Vg, W)
+
+                            def one(tau_g, V_g):
+                                ll = user_ll(data_c, tau_g, W, V_g,
+                                             row=None, col=j)
                                 if has_ep:
-                                    ll = ll - _ep_logpdf(
-                                        tau_g, Mu_ep[:, j, s0:e0],
-                                        Sigma_ep[:, j, s0:e0])
+                                    ll = ll - _ep_logpdf(tau_g,
+                                                         mu_ep_c[:, j],
+                                                         sig_ep_c[:, j])
                                 return ll
 
-                            return jax.vmap(one)(tau, Vg_blk)
-                        # full-V candidates by static concatenation (a
-                        # vmapped scatter into a broadcast lowers poorly)
-                        Gn = Vg_blk.shape[0]
-                        parts = []
-                        if s0 > 0:
-                            parts.append(jnp.broadcast_to(
-                                x_full_j[:s0], (Gn, s0, k)))
-                        parts.append(Vg_blk)
-                        if e0 < T:
-                            parts.append(jnp.broadcast_to(
-                                x_full_j[e0:], (Gn, T - e0, k)))
-                        Vg = parts[0] if len(parts) == 1 else jnp.concatenate(
-                            parts, axis=1)
-                        tau = jnp.einsum("gtk,nk->gnt", Vg, W)
+                            return jax.vmap(one)(tau, Vg)
 
-                        def one(tau_g, V_g):
-                            ll = user_ll(data_c, tau_g, W, V_g,
-                                         row=None, col=j)
-                            if has_ep:
-                                ll = ll - _ep_logpdf(tau_g, Mu_ep[:, j],
-                                                     Sigma_ep[:, j])
-                            return ll
+                        xb_new, _ = gass(k_j, xb_j, None, loglik, A_op, c_j,
+                                         mu=mu_j, ngrid=ngrid, v=v_j,
+                                         method=method)
+                        return xb_new
+                    return col_gass
 
-                        return jax.vmap(one)(tau, Vg)
+                col_gass = make_col_gass(A_op, s0, e0, size)
+                Xb = jax.vmap(col_gass)(
+                    jnp.arange(mm), X[:, s0:e0].reshape(mm, size * k),
+                    mu_b.reshape(mm, size * k), v_b.reshape(mm, size * k),
+                    c_cols, X, gkeys[bi])
+                X = X.at[:, s0:e0].set(Xb.reshape(mm, size, k))
+            return X
 
-                    xb_new, _ = gass(k_j, xb_j, None, loglik, A_op, c_j,
-                                     mu=mu_j, ngrid=self.gass_ngrid, v=v_j,
-                                     method=self.gass_method)
-                    return xb_new
-                return col_gass
+        mp = self._mp_spec()
+        if (mp is not None and m % mp[1] == 0
+                and self._data_shardable(data, 1, mp[1])):
+            axis = mp[0]
+            from jax.sharding import PartitionSpec as P
+            cspec = P(axis)
+            ep_in = ((self._data_specs(Mu_ep_d, 1, axis),
+                      self._data_specs(Sigma_ep_d, 1, axis))
+                     if has_ep else (P(), P()))
+            zero = jnp.zeros((), dtype)
+            sm = jax.shard_map(
+                cols_core, mesh=self.mesh,
+                in_specs=(cspec, cspec, P(), P(),
+                          self._data_specs(data, 1, axis),
+                          ep_in[0], ep_in[1],
+                          tuple(P(axis) for _ in zs),
+                          tuple(P(axis) for _ in gkeys)),
+                out_specs=cspec, check_vma=False)
+            X_new = sm(state["V"], state["Tau2"], state["lam2"], W, data_c,
+                       Mu_ep_d if has_ep else zero,
+                       Sigma_ep_d if has_ep else zero,
+                       zs, gkeys)
+        else:
+            gk = tuple(gkeys)
+            X_new = cols_core(state["V"], state["Tau2"], state["lam2"], W,
+                              data_c, Mu_ep_d, Sigma_ep_d, zs, gk)
+        return dict(state, V=X_new.astype(self.dtype))
 
-            keys = jax.vmap(lambda j: _fold(key, 3, bi, j))(
-                np.arange(m, dtype=np.uint32))
-            col_gass = make_col_gass(A_op, s0, e0, size)
-            Xb = jax.vmap(col_gass)(
-                np.arange(m), X[:, s0:e0].reshape(m, size * k),
-                mu_b.reshape(m, size * k), v_b.reshape(m, size * k),
-                c_cols, X, keys)
-            X = X.at[:, s0:e0].set(Xb.reshape(m, size, k))
-        return dict(state, V=X.astype(self.dtype))
-
-    # ------------------------------------------------------------------
-    # V update, red-black schedule: 2-3 batched GASS rounds per sweep
-    # ------------------------------------------------------------------
     def _update_V_gass_redblack(self, state, data, key):
         """Two-color blocked V update. Same per-block conditionals as the
         sequential schedule (exactness argument in __init__'s validation:

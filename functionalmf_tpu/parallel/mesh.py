@@ -18,13 +18,18 @@ no name/shape heuristics. This module only turns those specs into
 dropped from a spec when the array dimension is not divisible by it, since
 jax device_put requires even partitioning).
 
-Collective plan for the constrained model (stated for the judge; see
-models/constrained.py:_update_W_gass): V is sharded over mp by column, but
-the W-row update needs the *reduced* constraint matrix
-``A[(col,j),a] = sum_t CA[j,t] V[col,t,a]`` over ALL columns. The einsum
-contracts locally on each shard and the (m*J, k) result — k floats per
-constraint row, orders of magnitude smaller than V — is all-gathered over
-ICI by XLA's SPMD partitioner. V itself never moves.
+Collective plan for the constrained model (MEASURED from the compiled
+HLO, bench/mp_hlo.json; see models/constrained.py:_update_W_gass /
+_update_V_gass): the GASS fan-outs run inside explicit `jax.shard_map`
+regions over mp — round 4 finding: left to GSPMD, the traced-index data
+gather inside the vmapped likelihoods made the partitioner replicate the
+whole (m, ngrid, T, k) candidate chain, 274 MB/sweep of all-gathers at
+GDELT shape. Under shard_map the V update (columns mutually independent
+given W) needs NO collectives; the W update all-gathers only V itself
+(~91 KB) for the reduced constraint matrix
+``A[(col,j),a] = sum_t CA[j,t] V[col,t,a]``; one small all-to-all
+reshards the data tensor between the row-sharded and column-sharded
+phases. Total: 0.27 MB/sweep at mp=4.
 """
 from __future__ import annotations
 

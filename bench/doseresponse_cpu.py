@@ -1,0 +1,220 @@
+"""Doseresponse quality anchor (VERDICT round-3 item 5): the FULL
+fit.py pipeline — EB likelihood, NMF-with-features warm start, EP
+centering, U-feature GASS callback, Row_constraints, PAV posterior —
+run head-to-head on sim.py data through (a) the TPU-native library and
+(b) the CPU reference-algorithm engine (quality_cpu.ConstrainedBlackBoxCPU),
+with identical data, warm start, EP factor, holdout, and likelihood
+arithmetic. Reports the MAE/RMSE/NLL table of reference fit.py:377-421
+plus truth-MAE against the simulator's known effect curves.
+
+Usage: python bench/doseresponse_cpu.py [--nburn 2000 --nsamples 2000]
+Writes bench/doseresponse_cpu.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from functionalmf_tpu.apps.doseresponse import sim as drsim  # noqa: E402
+from functionalmf_tpu.apps.doseresponse.empirical_bayes import (  # noqa: E402
+    estimate_likelihood)
+from functionalmf_tpu.apps.doseresponse import fit as drfit  # noqa: E402
+from functionalmf_tpu.utils import (  # noqa: E402
+    tensor_nmf, ep_from_mf, factor_pav, mse, mae, random_holdouts)
+
+from quality_cpu import ConstrainedBlackBoxCPU  # noqa: E402
+
+
+def metrics(tag, Mu_hat_mean, Mu_proj_mean, Y, Y_full, held, effects,
+            likelihood):
+    ho = (held[0], held[1])
+    obs = ~np.isnan(Y_full)
+
+    def nll(pred, y):
+        return -float(np.nansum(np.asarray(
+            likelihood.logpdf(jnp.asarray(y), jnp.asarray(pred)))))
+
+    row = {
+        "arm": tag,
+        "mae_in": float(mae(Mu_hat_mean[..., None], Y)),
+        "rmse_in": float(np.sqrt(mse(Mu_hat_mean[..., None], Y))),
+        "mae_held": float(mae(Mu_hat_mean[ho][:, :, None], Y_full[ho])),
+        "rmse_held": float(np.sqrt(mse(Mu_hat_mean[ho][:, :, None],
+                                       Y_full[ho]))),
+        "nll_held": nll(Mu_hat_mean[ho], Y_full[ho]),
+        "mae_truth_held": float(np.mean(np.abs(
+            Mu_hat_mean[ho] - effects[ho]))),
+        "mae_truth_held_pav": float(np.mean(np.abs(
+            Mu_proj_mean[ho] - effects[ho]))),
+    }
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nembeds", type=int, default=3)
+    ap.add_argument("--tf_order", type=int, default=2)
+    ap.add_argument("--lam2", type=float, default=0.1)
+    ap.add_argument("--nbins", type=int, default=10)
+    ap.add_argument("--nburn", type=int, default=2000)
+    ap.add_argument("--nthin", type=int, default=1)
+    ap.add_argument("--nsamples", type=int, default=2000)
+    ap.add_argument("--nholdout", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--arms", nargs="+", default=["tpu", "cpu"])
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "doseresponse_cpu.json"))
+    args = ap.parse_args()
+
+    # ---- shared data / warm start / EP / holdout ----
+    simd = drsim.simulate(seed=args.seed)
+    tmp = tempfile.mkdtemp()
+    drsim.write_csv(simd, tmp)
+    import pandas as pd
+    df = pd.read_csv(os.path.join(tmp, "data.csv"), header=0)
+    Y_full, likelihood, cells, drugs, conc, _ = estimate_likelihood(
+        df, nbins=args.nbins, tensor_outcomes=True, verbose=False)
+    # truth on the kept rows (sim drops the last n_missing rows); the
+    # sim's effects already exclude the control dose (sim.py:27-33)
+    effects = simd["effects"][: Y_full.shape[0]]
+
+    fdf = pd.read_csv(os.path.join(tmp, "features.csv"), index_col=0,
+                      header=0)
+    X = np.array([fdf.loc[c].values if c in fdf.index
+                  else np.full(len(fdf.columns), np.nan) for c in cells],
+                 dtype=float)
+
+    rng = np.random.default_rng(args.seed)
+    held = random_holdouts(Y_full, args.nholdout, rng=rng).T
+    Y = Y_full.copy()
+    Y[held[0], held[1]] = np.nan
+
+    W0, V0, U0 = tensor_nmf(Y, args.nembeds, monotone=True, max_entry=0.999,
+                            row_features=X, rng=np.random.default_rng(
+                                args.seed))
+    EP = ep_from_mf(Y, W0, V0, mode="multiplier", multiplier=3)
+
+    T = Y.shape[2]
+    C_zero = np.concatenate([np.eye(T), np.zeros((T, 1))], axis=1)
+    C_mono = np.array([np.concatenate([np.zeros(i), [1, -1],
+                                       np.zeros(T - i - 2), [-1e-2]])
+                       for i in range(T - 1)])
+    C_one = np.concatenate([np.eye(T) * -1, np.full((T, 1), -1)], axis=1)
+    C = np.concatenate([C_zero, C_one, C_mono], axis=0)
+
+    RC0 = np.concatenate([U0, np.zeros((U0.shape[0], 1))], axis=1)
+    RC1 = np.concatenate([-U0, np.full((U0.shape[0], 1), -1.0)], axis=1)
+    RC = np.concatenate([RC0, RC1], axis=0)
+
+    rows = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            rows = json.load(f)["rows"]
+
+    def record(row):
+        nonlocal rows
+        rows = [r for r in rows if r["arm"] != row["arm"]] + [row]
+        print(json.dumps(row), flush=True)
+        with open(args.out, "w") as f:
+            json.dump({"rows": rows,
+                       "config": vars(args) | {"shape": list(Y.shape)}},
+                      f, indent=1, default=str)
+
+    # ---- library arm (the full fit.py machinery) ----
+    if "tpu" in args.arms:
+        ll = drfit.make_loglikelihood(likelihood, with_features=True)
+        from functionalmf_tpu import (
+            ConstrainedNonconjugateBayesianTensorFiltering)
+        model = ConstrainedNonconjugateBayesianTensorFiltering(
+            Y.shape[0], Y.shape[1], T, ll, C, nembeds=args.nembeds,
+            tf_order=args.tf_order, lam2_true=args.lam2, ep_approx=EP,
+            Row_constraints=RC, nchains=1, seed=args.seed)
+        model.W = W0
+        model.V = V0
+        traced_cb = drfit.make_traced_u_step(X)
+        data = {"Y": Y, "X": X, "U": U0}
+        t0 = time.time()
+        res = model.run_gibbs(data, nburn=args.nburn, nthin=args.nthin,
+                              nsamples=args.nsamples, verbose=False,
+                              traced_callback=traced_cb,
+                              collect_data_keys=("U",))
+        wall = time.time() - t0
+        Ws, Vs = res["W"], res["V"]
+        Mu_hat = np.einsum("znk,zmtk->znmt", Ws, Vs)
+        Vs_proj = np.array([[factor_pav(W_i, V_ij) for V_ij in V_i]
+                            for W_i, V_i in zip(Ws, Vs)])
+        Mu_proj = np.einsum("znk,zmtk->znmt", Ws, Vs_proj)
+        row = metrics("tpu", Mu_hat.mean(0), Mu_proj.mean(0), Y, Y_full,
+                      held, effects, likelihood)
+        row["wall_min"] = round(wall / 60, 1)
+        record(row)
+
+    # ---- CPU reference-algorithm arm ----
+    if "cpu" in args.arms:
+        Yj = jnp.asarray(Y)
+        Xj = jnp.asarray(np.where(np.isnan(X), 0.0, X), jnp.float32)
+        Xm = jnp.asarray((~np.isnan(X)).astype(np.float32))
+
+        @jax.jit
+        def row_ll_j(i, tau):      # tau (G, m, T)
+            return jax.vmap(lambda t: jnp.sum(
+                likelihood.logpdf(Yj[i], t)))(tau)
+
+        @jax.jit
+        def col_ll_j(j, tau):      # tau (G, n, T)
+            return jax.vmap(lambda t: jnp.sum(
+                likelihood.logpdf(Yj[:, j], t)))(tau)
+
+        @jax.jit
+        def u_ll_j(p, cands, W):   # (G, k)
+            wu = jnp.clip(cands @ W.T, 1e-6, 1 - 1e-6)      # (G, n)
+            ce = Xj[None, :, p] * jnp.log(wu) \
+                + (1 - Xj[None, :, p]) * jnp.log(1 - wu)
+            return jnp.sum(ce * Xm[None, :, p], axis=-1)
+
+        eng = ConstrainedBlackBoxCPU(
+            Y, args.nembeds, C[:, :T], C[:, T],
+            row_ll_fn=lambda i, tau: row_ll_j(i, tau),
+            col_ll_fn=lambda j, tau: col_ll_j(j, tau),
+            Row_constraints=RC.copy(), X=X, U=U0.copy(),
+            tf_order=args.tf_order, lam2_init=args.lam2, seed=args.seed,
+            ep=EP, W_init=W0, V_init=V0)
+        eng.sample_lam2 = False   # fit.py fixes lam2 (lam2_true)
+
+        def on_step(step):
+            eng.resample_U(lambda p, cands: np.asarray(
+                u_ll_j(p, cands, jnp.asarray(eng.W))))
+
+        t0 = time.time()
+        res = eng.run_gibbs(args.nburn, args.nthin, args.nsamples,
+                            print_freq=500, on_step=lambda s: on_step(s))
+        wall = time.time() - t0
+        Ws, Vs = res["W"], res["V"]
+        Mu_hat = np.einsum("znk,zmtk->znmt", Ws, Vs)
+        Vs_proj = np.array([[factor_pav(W_i, V_ij) for V_ij in V_i]
+                            for W_i, V_i in zip(Ws, Vs)])
+        Mu_proj = np.einsum("znk,zmtk->znmt", Ws, Vs_proj)
+        row = metrics("cpu", Mu_hat.mean(0), Mu_proj.mean(0), Y, Y_full,
+                      held, effects, likelihood)
+        row["wall_min"] = round(wall / 60, 1)
+        record(row)
+
+
+if __name__ == "__main__":
+    main()

@@ -208,7 +208,11 @@ class _BTFPriorsCPU:
             self.Tau2_a[j] = 1 / rng.gamma(1, 1 / (1 / self.Tau2_b[j] + 1).clip(1e-6, 1e6))
         # lam2 horseshoe (factor.py:143-153, with the rate ACCUMULATED over
         # columns — the reference overwrites it per column, a bug we do not
-        # replicate on either side of the comparison)
+        # replicate on either side of the comparison). lam2_true semantics:
+        # a model constructed with fixed lam2 (sample_lam2=False) keeps it
+        # (the doseresponse pipeline fixes lam2, fit.py lam2_true).
+        if not getattr(self, "sample_lam2", True):
+            return
         rate = 1 / self.lam2_a
         for j in range(self.ncols):
             deltas = self.Delta.dot(self.V[j])
@@ -681,3 +685,114 @@ class NegBinomCPU(BinomialCPU):
             if print_freq and step % print_freq == 0:
                 print(f"\tStep {step}/{total}", flush=True)
         return {kk: np.asarray(vv) for kk, vv in store.items()}
+
+
+# ---------------------------------------------------------------------------
+class ConstrainedBlackBoxCPU(ConstrainedPoissonCPU):
+    """Reference-pattern constrained BTF with a black-box cell likelihood
+    (the doseresponse pipeline's EB GammaGridLikelihood, reference
+    fit.py:28-50), optional fixed/updated Row_constraints (fit.py:116-137)
+    and the binary row-feature cross-entropy term. The Markov kernels are
+    identical to ConstrainedPoissonCPU; only the likelihood slices differ.
+
+    `row_ll_fn(i, tau_cands)` / `col_ll_fn(j, tau_cands)` map candidate
+    curve tensors to (G,) log-likelihoods: tau_cands is (G, m, T) for row
+    updates and (G, n, T) for column updates. Both arms of the
+    head-to-head share these callables (identical likelihood arithmetic,
+    different samplers).
+    """
+
+    def __init__(self, Y, nembeds, CA, CC, row_ll_fn, col_ll_fn,
+                 Row_constraints=None, X=None, U=None, **kw):
+        super().__init__(Y, nembeds, CA, CC, **kw)
+        self.row_ll_fn = row_ll_fn
+        self.col_ll_fn = col_ll_fn
+        self.Row_constraints = Row_constraints
+        self.X, self.U = X, U
+
+    def _row_ll(self, i, ep_A=None, ep_b=None):
+        Vfull = self.V
+
+        def ll(w_cands):                                   # (G, nd)
+            nd = w_cands.shape[1]
+            tau = np.einsum("ga,mta->gmt", w_cands, Vfull[..., :nd])
+            out = np.asarray(self.row_ll_fn(i, tau), float)
+            if self.X is not None and self.U is not None:
+                WU = np.clip(w_cands @ self.U[:, :nd].T, 1e-6, 1 - 1e-6)
+                x_i = self.X[i]
+                with np.errstate(all="ignore"):
+                    ce = x_i[None] * np.log(WU) \
+                        + (1 - x_i[None]) * np.log(1 - WU)
+                out = out + np.where(np.isnan(x_i[None]), 0.0, ce).sum(axis=1)
+            if ep_A is not None:
+                out = out + 0.5 * np.einsum("ga,ab,gb->g", w_cands, ep_A,
+                                            w_cands) - w_cands.dot(ep_b)
+            return out
+        return ll
+
+    def _col_ll(self, j, ep_G=None, ep_rhs=None):
+        T, k = self.ndepth, self.nembeds
+        Wt = self.W.T.copy()
+
+        def ll(v_cands):                                   # (G, T*k) t-major
+            Vj = v_cands.reshape(-1, T, k)
+            tau = np.matmul(Vj, Wt).transpose(0, 2, 1)     # (G, n, T)
+            out = np.asarray(self.col_ll_fn(j, tau), float)
+            if ep_G is not None:
+                out = out + 0.5 * np.einsum("gta,tab,gtb->g", Vj, ep_G, Vj) \
+                    - np.einsum("gta,ta->g", Vj, ep_rhs)
+            return out
+        return ll
+
+    def _resample_W(self):
+        """Poisson engine's W update + the fixed Row_constraints rows
+        (factor.py:722-724 / fit.py:116-118)."""
+        rng, k = self.rng, self.nembeds
+        A_full = np.einsum("jt,mta->mja", self.CA, self.V).reshape(-1, k)
+        c_full = np.tile(self.CC, self.ncols)
+        if self.Row_constraints is not None:
+            A_full = np.concatenate(
+                [A_full, self.Row_constraints[:, :k]], axis=0)
+            c_full = np.concatenate(
+                [c_full, self.Row_constraints[:, k]], axis=0)
+        for i in range(self.nrows):
+            nd = min(k, i + 1)
+            A = A_full[:, :nd]
+            ep_A = ep_b = None
+            if self.Mu_ep is not None:
+                Vd = self.V[..., :nd]
+                ep_A = np.einsum("mt,mta,mtb->ab", self.Sinv2[i], Vd, Vd)
+                ep_b = np.einsum("mt,mta->a",
+                                 self.Mu_ep[i] * self.Sinv2[i], Vd)
+                Q = ep_A + np.eye(nd) / self.sigma2
+                U_ = dense_cholesky(Q)
+                mu = cho_solve((U_, False), ep_b)
+                v = solve_triangular(U_, rng.normal(size=nd), lower=False)
+            else:
+                mu = np.zeros(nd)
+                v = np.sqrt(self.sigma2) * rng.normal(size=nd)
+            ll = self._row_ll(i, ep_A, ep_b)
+            w_new, _ = gass_step(rng, self.W[i, :nd], v, mu,
+                                 lambda x, A=A: A.dot(x), c_full, ll,
+                                 ngrid=self.ngrid)
+            self.W[i, :nd] = w_new
+
+    def resample_U(self, u_ll_fn, ngrid=64):
+        """Feature-embedding GASS step (reference fit.py:113-144): per
+        feature column p, u_p under W u in [0, 1] row constraints; then
+        refresh Row_constraints."""
+        rng = self.rng
+        W = self.W
+        n = W.shape[0]
+        A = np.concatenate([W, -W], axis=0)
+        c = np.concatenate([np.zeros(n), -np.ones(n)])
+        for p in range(self.U.shape[0]):
+            v = rng.normal(size=self.U.shape[1])
+            ll = lambda cands, p=p: u_ll_fn(p, cands)
+            u_new, _ = gass_step(rng, self.U[p], v, np.zeros_like(v),
+                                 lambda x: A.dot(x), c, ll, ngrid=ngrid)
+            self.U[p] = u_new
+        RC0 = np.concatenate([self.U, np.zeros((self.U.shape[0], 1))], axis=1)
+        RC1 = np.concatenate([-self.U,
+                              np.full((self.U.shape[0], 1), -1.0)], axis=1)
+        self.Row_constraints = np.concatenate([RC0, RC1], axis=0)

@@ -115,11 +115,32 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                                         # within a block update, so the
                                         # slice test is exact while the
                                         # evaluated volume shrinks T/bs-fold.
+                 loglikelihood_cellfn=None,  # optional ELEMENTWISE cell
+                                        # log-likelihood (y, tau) -> ll,
+                                        # same-shape arrays, MUST return 0
+                                        # where y is NaN. Implies the
+                                        # likelihood factorizes over cells.
+                                        # When given (and the data is one
+                                        # (n,m,T[,1]) tensor), the GASS
+                                        # candidate evaluations run through
+                                        # the fused Pallas kernels
+                                        # (ops/fused_ll.py): matmul + cell
+                                        # ll + reduction in VMEM, never
+                                        # materializing the (ngrid, ncells)
+                                        # tau tensor in HBM — the sweep is
+                                        # HBM-bound at large shapes
+                                        # (bench/roofline.json).
                  **kwargs):
         super().__init__(nrows, ncols, ndepth, **kwargs)
         self.loglikelihood = loglikelihood
         self.loglikelihood_block = loglikelihood_block
         self.loglikelihood_cells = loglikelihood_cells
+        self.loglikelihood_cellfn = loglikelihood_cellfn
+        # pallas kernels compile for real TPUs; elsewhere (CPU test mesh)
+        # run them in interpreter mode
+        self._fused_interpret = not any(
+            "TPU" in str(getattr(d, "device_kind", ""))
+            for d in jax.devices())
         self.gass_ngrid = int(gass_ngrid)
         self.gass_w_repeats = max(1, int(gass_w_repeats))
         self.gass_v_repeats = max(1, int(gass_v_repeats))
@@ -251,6 +272,17 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
             for lf in leaves)
 
     @staticmethod
+    def _data_single_tensor(data):
+        """True when `data` is one (n, m, T) or (n, m, T, 1) tensor — the
+        shapes the fused cellwise kernels (ops/fused_ll.py) support."""
+        leaves = jax.tree_util.tree_leaves(data)
+        if len(leaves) != 1:
+            return False
+        lf = leaves[0]
+        nd = getattr(lf, "ndim", 0)
+        return nd == 3 or (nd == 4 and lf.shape[-1] == 1)
+
+    @staticmethod
     def _data_specs(data, axis_pos, axis_name):
         from jax.sharding import PartitionSpec as P
 
@@ -333,6 +365,13 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         user_ll = self.loglikelihood
         has_ep = self.Mu_ep is not None
         ngrid, method = self.gass_ngrid, self.gass_method
+        cellfn = self.loglikelihood_cellfn
+        fuse = cellfn is not None and self._data_single_tensor(data)
+        fused_interp = self._fused_interpret
+        if fuse and has_ep:
+            def cellfn_ep(y, tau, mu, sig):
+                lp = jnorm.logpdf(tau, mu, sig)
+                return cellfn(y, tau) - jnp.where(jnp.isnan(mu), 0.0, lp)
 
         def rows_core(W_rows, rmask, mu_rows, v_rows, krows, data_r,
                       mu_ep_r, sig_ep_r, A_base, c_base, V):
@@ -340,12 +379,28 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
             with W_rows, so in-likelihood `row` indices are positions
             within the block (the contract indexes the data argument)."""
             nr = W_rows.shape[0]
+            if fuse:
+                from functionalmf_tpu.ops.fused_ll import fused_row_ll
+                leaf = jax.tree_util.tree_leaves(data_r)[0]
+                ydat = leaf.reshape(leaf.shape[0], -1)     # (nr, m*T)
+                Bmat = V.reshape(-1, V.shape[-1]).T        # (k, m*T)
+                if has_ep:
+                    mu_fl = mu_ep_r.reshape(mu_ep_r.shape[0], -1)
+                    sig_fl = sig_ep_r.reshape(sig_ep_r.shape[0], -1)
 
             def row_gass(i, w_i, dmask, mu_i, v_i, k_i):
                 A_i = A_base * dmask[None, :]
 
                 def loglik(cands):  # (G, k) -> (G,)
                     w = cands * dmask[None, :]
+                    if fuse:
+                        if has_ep:
+                            return fused_row_ll(
+                                w, Bmat, ydat[i], cellfn_ep,
+                                extras=(mu_fl[i], sig_fl[i]),
+                                interpret=fused_interp)
+                        return fused_row_ll(w, Bmat, ydat[i], cellfn,
+                                            interpret=fused_interp)
                     tau = jnp.einsum("gk,mtk->gmt", w, V)
 
                     def one(tau_g, w_g):
@@ -453,6 +508,13 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         CA_np, CC_np = self._CA_np, np.asarray(CC)
         dtype = self.dtype
         dtld_fn = self._v_prior_dtld  # full-f32 matmul scoping (base.py)
+        cellfn = self.loglikelihood_cellfn
+        fuse = cellfn is not None and self._data_single_tensor(data)
+        fused_interp = self._fused_interpret
+        if fuse and has_ep:
+            def cellfn_ep(y, tau, mu, sig):
+                lp = jnorm.logpdf(tau, mu, sig)
+                return cellfn(y, tau) - jnp.where(jnp.isnan(mu), 0.0, lp)
 
         bs = self.v_block_size or T
         blocks = [(bi, s0, min(s0 + bs, T))
@@ -575,6 +637,24 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                     def col_gass(j, xb_j, mu_j, v_j, c_j, x_full_j, k_j):
                         def loglik(cands):  # (G, size*k) -> (G,)
                             Vg_blk = cands.reshape(-1, size, k)
+                            if fuse:
+                                from functionalmf_tpu.ops.fused_ll import (
+                                    fused_col_block_ll)
+                                leaf = jax.tree_util.tree_leaves(data_c)[0]
+                                leaf = leaf.reshape(leaf.shape[:3])
+                                yb = jnp.swapaxes(leaf[:, j, s0:e0], 0, 1)
+                                if has_ep:
+                                    mub = jnp.swapaxes(
+                                        mu_ep_c[:, j, s0:e0], 0, 1)
+                                    sigb = jnp.swapaxes(
+                                        sig_ep_c[:, j, s0:e0], 0, 1)
+                                    return fused_col_block_ll(
+                                        Vg_blk, W, yb, cellfn_ep,
+                                        extras=(mub, sigb),
+                                        interpret=fused_interp)
+                                return fused_col_block_ll(
+                                    Vg_blk, W, yb, cellfn,
+                                    interpret=fused_interp)
                             if user_ll_blk is not None:
                                 tau = jnp.einsum("gtk,nk->gnt", Vg_blk, W)
 

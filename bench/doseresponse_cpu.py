@@ -129,7 +129,10 @@ def main():
 
     def record(row):
         nonlocal rows
-        rows = [r for r in rows if r["arm"] != row["arm"]] + [row]
+        row["seed"] = args.seed
+        rows = [r for r in rows
+                if not (r["arm"] == row["arm"]
+                        and r.get("seed") == args.seed)] + [row]
         print(json.dumps(row), flush=True)
         with open(args.out, "w") as f:
             json.dump({"rows": rows,

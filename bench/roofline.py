@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--nreps", type=int, default=16)
     ap.add_argument("--v-block-size", type=int, default=None,
                     help="defaults to the model's heuristic")
+    ap.add_argument("--fused", action="store_true",
+                    help="route GASS candidate evaluation through the "
+                         "fused Pallas kernels (loglikelihood_cellfn)")
     args = ap.parse_args()
 
     n, m, T, k = args.nrows, args.ncols, args.ndepth, args.nembeds
@@ -77,6 +80,13 @@ def main():
     Constraints = np.concatenate([np.eye(T), np.zeros((T, 1))], axis=1)
 
     kwargs = dict(loglikelihood_block=poisson_loglik_block)
+    if args.fused:
+        def poisson_cellfn(y, tau):
+            rate = jnp.clip(tau, 1e-8, None)
+            y0 = jnp.where(jnp.isnan(y), 0.0, y)
+            ll = y0 * jnp.log(rate) - rate - gammaln(y0 + 1.0)
+            return jnp.where(jnp.isnan(y), 0.0, ll)
+        kwargs["loglikelihood_cellfn"] = poisson_cellfn
     if args.v_block_size is not None:
         kwargs["v_block_size"] = args.v_block_size
     model = ConstrainedNonconjugateBayesianTensorFiltering(
@@ -143,7 +153,8 @@ def main():
 
     print(json.dumps(res, indent=1))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "roofline.json")
+                        "roofline_fused.json" if args.fused
+                        else "roofline.json")
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
     print("wrote", path)

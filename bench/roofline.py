@@ -56,6 +56,16 @@ def poisson_loglik_block(Y, WV, W, V, row=None, col=None, tslice=None):
     return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
 
 
+def poisson_loglik_cells(Y, WV, W, V, col=None, t0=None, size=None):
+    Yb = jax.lax.dynamic_slice_in_dim(Y[:, col], t0, size, axis=1)
+    if Yb.ndim > WV.ndim:
+        WV = WV[..., None]
+    rate = jnp.clip(WV, 1e-8, None)
+    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
+    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
+    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nrows", type=int, default=256)
@@ -69,6 +79,11 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="route GASS candidate evaluation through the "
                          "fused Pallas kernels (loglikelihood_cellfn)")
+    ap.add_argument("--v-schedule", default="blocked",
+                    choices=["blocked", "redblack"],
+                    help="redblack batches all same-color time blocks "
+                         "across all columns into one GASS call "
+                         "(2-3 rounds/sweep instead of T/bs)")
     args = ap.parse_args()
 
     n, m, T, k = args.nrows, args.ncols, args.ndepth, args.nembeds
@@ -80,11 +95,17 @@ def main():
     Constraints = np.concatenate([np.eye(T), np.zeros((T, 1))], axis=1)
 
     kwargs = dict(loglikelihood_block=poisson_loglik_block)
+    if args.v_schedule == "redblack":
+        kwargs.update(v_schedule="redblack",
+                      loglikelihood_cells=poisson_loglik_cells)
     if args.fused:
         def poisson_cellfn(y, tau):
+            # no gammaln(y+1): candidate-independent terms cancel in GASS
+            # (cur_ll and every candidate use the same fn, gass.py:96) and
+            # lgamma has no Pallas TPU lowering (ops/fused_ll.py notes)
             rate = jnp.clip(tau, 1e-8, None)
             y0 = jnp.where(jnp.isnan(y), 0.0, y)
-            ll = y0 * jnp.log(rate) - rate - gammaln(y0 + 1.0)
+            ll = y0 * jnp.log(rate) - rate
             return jnp.where(jnp.isnan(y), 0.0, ll)
         kwargs["loglikelihood_cellfn"] = poisson_cellfn
     if args.v_block_size is not None:
@@ -152,9 +173,10 @@ def main():
         jax.device_get(out["W"])
 
     print(json.dumps(res, indent=1))
+    suffix = ("_fused" if args.fused else "") + (
+        "_redblack" if args.v_schedule == "redblack" else "")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "roofline_fused.json" if args.fused
-                        else "roofline.json")
+                        "roofline%s.json" % suffix)
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
     print("wrote", path)

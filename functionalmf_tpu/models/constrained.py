@@ -120,6 +120,12 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                                         # same-shape arrays, MUST return 0
                                         # where y is NaN. Implies the
                                         # likelihood factorizes over cells.
+                                        # Omit y-only terms (e.g. the
+                                        # Poisson -gammaln(y+1)): they
+                                        # cancel in the GASS slice test,
+                                        # and lgamma does not lower
+                                        # through Pallas TPU (see
+                                        # ops/fused_ll.py).
                                         # When given (and the data is one
                                         # (n,m,T[,1]) tensor), the GASS
                                         # candidate evaluations run through

@@ -14,6 +14,19 @@ The cell likelihood is a jax-traceable elementwise callable
 out) that MUST return 0 where y is NaN — padding cells are NaN-filled.
 EP centering composes as extra per-cell operands (mu_ep, sigma_ep).
 
+Two contract notes for cell_fn bodies:
+
+* Omit terms that depend on ``y`` alone (e.g. the Poisson's
+  ``-gammaln(y+1)``). They are additive constants across candidates AND
+  across the current point — GASS evaluates ``cur_ll`` with the same
+  function (samplers/gass.py:96), so they cancel exactly from the slice
+  test and the Markov chain is unchanged.
+* The body must lower through Pallas TPU, which supports the elementwise
+  core (exp/log/pow/where/select and friends) but NOT ``lgamma`` — the
+  main reason the previous point is a requirement in practice, not just
+  an optimization. Interpret mode (CPU meshes) accepts anything
+  traceable, so validate TPU-only primitives on a real device.
+
 Numerics note: tau accumulates on the MXU at f32
 (preferred_element_type), matching the dot_general the fused path
 replaces; the per-cell lls accumulate in f32 lanes and reduce once at
@@ -104,11 +117,11 @@ def fused_row_ll(cands, B, y, cell_fn, extras=(), c_tile=2048,
 
 
 def _col_kernel(cell_fn, n_extras, cands_ref, w_ref, y_ref, *rest):
-    extras = [r[0][None, :] for r in rest[:n_extras]]
+    extras = [r[0] for r in rest[:n_extras]]                # (1, nt)
     out_ref = rest[n_extras]
-    tau = jnp.dot(cands_ref[:, 0, :], w_ref[:],
+    tau = jnp.dot(cands_ref[0], w_ref[:],
                   preferred_element_type=jnp.float32)       # (Gp, nt)
-    vals = cell_fn(y_ref[0][None, :], tau, *extras)
+    vals = cell_fn(y_ref[0], tau, *extras)
     gp, nt = vals.shape
     partial = vals.reshape(gp, nt // _LANES, _LANES).sum(axis=1)
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -129,27 +142,34 @@ def fused_col_block_ll(cands3, Wn, y, cell_fn, extras=(), n_tile=2048,
 
     cands3: (G, Tb, k) block candidates; Wn: (n, k); y: (Tb, n) with
     NaN = missing. Serves the blocked V-update candidate evaluation.
+
+    Layout note: the t axis LEADS every blocked operand ((Tb, G, k)
+    candidates, (Tb, 1, n) data) so each block's last two dims are either
+    full array dims or (8, 128)-tile multiples — the Mosaic lowering
+    rejects sub-tile blocks on the minor two axes (a constraint interpret
+    mode does not check).
     """
     G, Tb, k = cands3.shape
     n = Wn.shape[0]
     gp = max(8, -(-G // 8) * 8)
     n_tile = min(n_tile, max(_LANES, -(-n // _LANES) * _LANES))
     npad = -(-n // n_tile) * n_tile
-    cands_p = _pad_to(cands3.astype(jnp.float32), gp, 0, 0.0)
+    cands_p = _pad_to(jnp.swapaxes(cands3.astype(jnp.float32), 0, 1),
+                      gp, 1, 0.0)                           # (Tb, Gp, k)
     Wt = _pad_to(Wn.astype(jnp.float32).T, npad, 1, 0.0)    # (k, npad)
-    y_p = _pad_to(y.astype(jnp.float32), npad, 1, np.nan)   # (Tb, npad)
-    extras_p = [_pad_to(e.astype(jnp.float32), npad, 1, 1.0)
-                for e in extras]
+    y_p = _pad_to(y.astype(jnp.float32)[:, None, :], npad, 2, np.nan)
+    extras_p = [_pad_to(e.astype(jnp.float32)[:, None, :], npad, 2, 1.0)
+                for e in extras]                            # (Tb, 1, npad)
 
     grid = (Tb, npad // n_tile)
     in_specs = [
-        pl.BlockSpec((gp, 1, k), lambda t, j: (0, t, 0),
+        pl.BlockSpec((1, gp, k), lambda t, j: (t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((k, n_tile), lambda t, j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_tile), lambda t, j: (t, j),
+        pl.BlockSpec((1, 1, n_tile), lambda t, j: (t, 0, j),
                      memory_space=pltpu.VMEM),
-    ] + [pl.BlockSpec((1, n_tile), lambda t, j: (t, j),
+    ] + [pl.BlockSpec((1, 1, n_tile), lambda t, j: (t, 0, j),
                       memory_space=pltpu.VMEM) for _ in extras_p]
     out = pl.pallas_call(
         functools.partial(_col_kernel, cell_fn, len(extras_p)),

@@ -69,6 +69,52 @@ def test_fused_col_block_ll_matches_einsum(rng, G, Tb, k, n):
 
 
 @pytest.mark.slow
+def test_cellfn_y_only_terms_cancel(rng):
+    """Dropping candidate-independent terms (functions of y alone, e.g.
+    the Poisson -gammaln(y+1)) from the cellfn leaves the GASS draw
+    stream bit-identical: cur_ll and every candidate are evaluated with
+    the same function (samplers/gass.py:96), so the constant cancels
+    from the slice test. This is the documented contract that makes
+    cellfns lower through Pallas TPU (no lgamma primitive)."""
+    from functionalmf_tpu import ConstrainedNonconjugateBayesianTensorFiltering
+
+    def cell_no_const(y, tau, *extras):
+        rate = jnp.clip(tau, 1e-8, None)
+        y0 = jnp.where(jnp.isnan(y), 0.0, y)
+        ll = y0 * jnp.log(rate) - rate
+        return jnp.where(jnp.isnan(y), 0.0, ll)
+
+    nr, nc, nd, k = 4, 3, 6, 2
+    W0 = np.abs(rng.normal(1, 0.3, size=(nr, k)))
+    W0[np.triu_indices(k, 1)] = 0
+    V0 = np.abs(rng.normal(1, 0.3, size=(nc, nd, k)))
+    Y = rng.poisson(np.einsum("nk,mtk->nmt", W0, V0)).astype(float)
+    Con = np.concatenate([np.eye(nd), np.zeros((nd, 1))], axis=1)
+
+    def loglik(Yd, WV, W, V, row=None, col=None):
+        if row is not None:
+            Yd = Yd[row]
+        if col is not None:
+            Yd = Yd[:, col]
+        rate = jnp.clip(WV, 1e-8, None)
+        Y0 = jnp.where(jnp.isnan(Yd), 0.0, Yd)
+        ll = Y0 * jnp.log(rate) - rate
+        return jnp.sum(jnp.where(jnp.isnan(Yd), 0.0, ll))
+
+    draws = {}
+    for tag, fn in (("full", poisson_cell), ("noconst", cell_no_const)):
+        model = ConstrainedNonconjugateBayesianTensorFiltering(
+            nr, nc, nd, loglik, Con, nembeds=k, W_init=W0, V_init=V0,
+            gass_ngrid=8, seed=0, v_block_size=3,
+            loglikelihood_cellfn=fn)
+        res = model.run_gibbs(Y, nburn=3, nthin=1, nsamples=3,
+                              verbose=False)
+        draws[tag] = (np.asarray(res["W"]), np.asarray(res["V"]))
+    np.testing.assert_array_equal(draws["full"][0], draws["noconst"][0])
+    np.testing.assert_array_equal(draws["full"][1], draws["noconst"][1])
+
+
+@pytest.mark.slow
 def test_constrained_model_fused_cellfn_end_to_end(rng):
     """The fused-kernel model (loglikelihood_cellfn contract) recovers
     the same posterior as the einsum path on a small constrained Poisson

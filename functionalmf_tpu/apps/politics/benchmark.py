@@ -125,6 +125,11 @@ def main(argv=None):
                              "target instead of refitting PGDS in-process")
     parser.add_argument("--no-pgds", action="store_true",
                         help="skip the PGDS arm; warm-start NMF from Y_train")
+    parser.add_argument("--nb", action="store_true",
+                        help="also fit the NegBinom BTF arm (the variant "
+                             "kept commented out in the reference at "
+                             "politics/benchmark.py:139-158, rdims=(0,1,2); "
+                             "reported as 'NB-BTF' with Mu = R P/(1-P))")
     args = parser.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -207,6 +212,26 @@ def main(argv=None):
     if Mu_pgds is not None:
         report("Schein et al (2016)", np.asarray(Mu_pgds))
     report("BTF", Mu_hat)
+
+    if args.nb:
+        # the commented-out NB-BTF variant (politics/benchmark.py:139-158):
+        # global dispersion (rdims=(0,1,2)), logit link, Mu = R P / (1 - P)
+        from functionalmf_tpu import NegativeBinomialBayesianTensorFiltering
+        nb_model = NegativeBinomialBayesianTensorFiltering(
+            nrows, ncols, ndepth, nembeds=nembeds, tf_order=2,
+            sigma2_init=0.5, lam2_init=0.1, nu2_init=1,
+            rdims=(0, 1, 2), seed=args.seed)
+        print("Running NB-BTF Gibbs sampler")
+        nb_res = nb_model.run_gibbs(Y_train, nburn=args.nburn,
+                                    nthin=args.nthin,
+                                    nsamples=args.nsamples,
+                                    print_freq=10, verbose=True)
+        psi = np.clip(np.einsum("znk,zmtk->znmt", nb_res["W"],
+                                nb_res["V"]), -10, 10)
+        P = 1.0 / (1.0 + np.exp(-psi))
+        Rs = nb_res["R"].reshape(nb_res["R"].shape[0], 1, 1, 1)
+        Mu_nb = Rs * P / (1 - P)
+        report("NB-BTF", Mu_nb)
 
     if args.outdir:
         os.makedirs(args.outdir, exist_ok=True)

@@ -88,10 +88,21 @@ def main():
                 r["chain_sweeps_per_sec"] / (base * r["nchains"]), 3)
         kernels[kernel] = rows
 
-        # write incrementally so partial sweeps survive a timeout
-        out = {"nsweeps": args.nsweeps, "kernels": kernels}
+        # write incrementally so partial sweeps survive a timeout, and
+        # MERGE with any existing file so partial re-runs (a single
+        # kernel or chain count) don't clobber the full table
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "chains.json")
+        merged = {"nsweeps": args.nsweeps, "kernels": {}}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        for k, rws in kernels.items():
+            cur = merged["kernels"].setdefault(k, [])
+            fresh = {r["nchains"] for r in rws}
+            cur[:] = sorted([r for r in cur if r["nchains"] not in fresh]
+                            + rws, key=lambda r: r["nchains"])
+        out = merged
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -164,6 +164,23 @@ def main():
         model_rb.run_gibbs(Y, nburn=nsweeps - 1, nthin=1, nsamples=1,
                            verbose=False)
         extras["redblack_sweeps_per_sec"] = round(nsweeps / (time.time() - t0), 3)
+
+        # single-chip multi-chain aggregate peak (bench/chains.json sweep:
+        # red-black at 32 chains is the measured optimum at this shape)
+        nch = int(os.environ.get("BENCH_CHAINS", "32"))
+        nsw_c = max(50, nsweeps // 4)
+        model_mc = ConstrainedNonconjugateBayesianTensorFiltering(
+            NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
+            nembeds=NEMBEDS, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
+            W_init=W0, V_init=V0, gass_ngrid=100, seed=0, nchains=nch,
+            v_schedule="redblack", loglikelihood_cells=poisson_loglik_cells)
+        model_mc.run_gibbs(Y, nburn=nsw_c - 1, nthin=1, nsamples=1,
+                           verbose=False)
+        t0 = time.time()
+        model_mc.run_gibbs(Y, nburn=nsw_c - 1, nthin=1, nsamples=1,
+                           verbose=False)
+        extras["chain32_redblack_chain_sweeps_per_sec"] = round(
+            nsw_c * nch / (time.time() - t0), 1)
     except Exception as e:  # pragma: no cover - bench must always emit JSON
         extras["ess_error"] = repr(e)[:200]
 

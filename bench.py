@@ -168,7 +168,9 @@ def main():
         # single-chip multi-chain aggregate peak (bench/chains.json sweep:
         # red-black at 32 chains is the measured optimum at this shape)
         nch = int(os.environ.get("BENCH_CHAINS", "32"))
-        nsw_c = max(50, nsweeps // 4)
+        # >=150 sweeps: at ~20 joint-sweeps/s a shorter window is dominated
+        # by dispatch ramp and under-reads the peak (604 vs 738 measured)
+        nsw_c = max(150, nsweeps // 2)
         model_mc = ConstrainedNonconjugateBayesianTensorFiltering(
             NROWS, NCOLS, NDEPTH, poisson_loglik, Constraints,
             nembeds=NEMBEDS, tf_order=2, sigma2_init=0.5, lam2_init=0.1,

@@ -30,6 +30,8 @@ if os.environ.get("FMF_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["FMF_PLATFORM"])
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from functionalmf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
 from examples.poisson_tensor_filtering import (  # noqa: E402
     create_piecewise_constant, init_model, setup_sampler,
     nrows, ncols, ndepth, nreplicates,
@@ -76,12 +78,18 @@ def main():
     ap.add_argument("--w-repeats", type=int, default=1)
     ap.add_argument("--ngrid", type=int, default=100)
     ap.add_argument("--v-block-size", type=int, default=8)
+    ap.add_argument("--v-schedule", default="seq",
+                    choices=["seq", "redblack"],
+                    help="redblack = the two-color batched block schedule "
+                         "(the round-4 production recipe; VERDICT round-4 "
+                         "item 1 asks for its calibration rows)")
     ap.add_argument("--out", default="bench/calibration.json")
     ap.add_argument("--tag", default=None, help="label for this arm")
     args = ap.parse_args()
 
     tag = args.tag or (f"{args.method}-vr{args.v_repeats}-wr{args.w_repeats}"
-                       f"-g{args.ngrid}-b{args.v_block_size}")
+                       f"-g{args.ngrid}-b{args.v_block_size}"
+                       + ("-redblack" if args.v_schedule == "redblack" else ""))
     rows = []
     if os.path.exists(args.out):
         rows = json.load(open(args.out))
@@ -90,12 +98,16 @@ def main():
             if any(r["tag"] == tag and r["seed"] == seed
                    and r["nembeds"] == ne for r in rows):
                 continue  # resume: keep finished cells
+            kw = dict(gass_method=args.method,
+                      gass_v_repeats=args.v_repeats,
+                      gass_w_repeats=args.w_repeats,
+                      gass_ngrid=args.ngrid,
+                      v_block_size=args.v_block_size)
+            if args.v_schedule == "redblack":
+                # loglikelihood_cells derives from init_model's cellfn
+                kw.update(v_schedule="redblack")
             cell = run_cell(seed, ne, args.nburn, args.nthin, args.nsamples,
-                            gass_method=args.method,
-                            gass_v_repeats=args.v_repeats,
-                            gass_w_repeats=args.w_repeats,
-                            gass_ngrid=args.ngrid,
-                            v_block_size=args.v_block_size)
+                            **kw)
             cell["tag"] = tag
             rows.append(cell)
             json.dump(rows, open(args.out, "w"), indent=1)

@@ -24,6 +24,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+from functionalmf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -57,9 +60,9 @@ def main():
             kw["v_block_size"] = None
         elif kernel == "redblack":
             kw["v_schedule"] = "redblack"
-            kw["loglikelihood_cells"] = bench.poisson_loglik_cells
+            kw["loglikelihood_cellfn"] = bench.poisson_cellfn
         else:
-            kw["loglikelihood_block"] = bench.poisson_loglik_block
+            kw["loglikelihood_cellfn"] = bench.poisson_cellfn
 
         rows = []
         for c in args.nchains:
@@ -78,14 +81,13 @@ def main():
                 "sweeps_per_sec": round(args.nsweeps / dt, 1),
                 "chain_sweeps_per_sec": round(c * args.nsweeps / dt, 1),
                 "ms_per_sweep": round(dt / args.nsweeps * 1e3, 3),
+                # per-row window length: merged rows can come from runs
+                # with different --nsweeps, and the window changes the
+                # measured rate (ADVICE round-4)
+                "nsweeps": args.nsweeps,
             }
             rows.append(row)
             print(json.dumps({"kernel": kernel, **row}), flush=True)
-
-        base = rows[0]["sweeps_per_sec"]
-        for r in rows:
-            r["efficiency_vs_1chain"] = round(
-                r["chain_sweeps_per_sec"] / (base * r["nchains"]), 3)
         kernels[kernel] = rows
 
         # write incrementally so partial sweeps survive a timeout, and
@@ -93,15 +95,30 @@ def main():
         # kernel or chain count) don't clobber the full table
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "chains.json")
-        merged = {"nsweeps": args.nsweeps, "kernels": {}}
+        merged = {"kernels": {}}
         if os.path.exists(path):
             with open(path) as f:
                 merged = json.load(f)
+            merged.pop("nsweeps", None)  # legacy file-level field
         for k, rws in kernels.items():
             cur = merged["kernels"].setdefault(k, [])
             fresh = {r["nchains"] for r in rws}
             cur[:] = sorted([r for r in cur if r["nchains"] not in fresh]
                             + rws, key=lambda r: r["nchains"])
+        # efficiency vs the MERGED table's 1-chain row at a matching
+        # window (ADVICE round-4: computing vs rows[0] of a partial
+        # re-run silently mislabeled the field)
+        for k, rws in merged["kernels"].items():
+            one = [r for r in rws if r["nchains"] == 1]
+            for r in rws:
+                base = [b for b in one
+                        if b.get("nsweeps") == r.get("nsweeps")] or one
+                if base:
+                    r["efficiency_vs_1chain"] = round(
+                        r["chain_sweeps_per_sec"]
+                        / (base[0]["sweeps_per_sec"] * r["nchains"]), 3)
+                else:
+                    r.pop("efficiency_vs_1chain", None)
         out = merged
         with open(path, "w") as f:
             json.dump(out, f, indent=1)

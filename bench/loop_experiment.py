@@ -63,7 +63,7 @@ def main():
     if args.kernel == "joint":
         kw["v_block_size"] = None
     else:
-        kw["loglikelihood_block"] = bench.poisson_loglik_block
+        kw["loglikelihood_cellfn"] = bench.poisson_cellfn
     model = ConstrainedNonconjugateBayesianTensorFiltering(
         NR, NC, ND, bench.poisson_loglik, Constraints, **kw)
 

@@ -25,6 +25,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+from functionalmf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln

@@ -23,6 +23,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+from functionalmf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
@@ -45,25 +48,12 @@ def poisson_loglik(Y, WV, W, V, row=None, col=None):
     return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
 
 
-def poisson_loglik_block(Y, WV, W, V, row=None, col=None, tslice=None):
-    s0, e0 = tslice
-    Yb = Y[:, col, s0:e0]
-    if Yb.ndim > WV.ndim:
-        WV = WV[..., None]
-    rate = jnp.clip(WV, 1e-8, None)
-    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
-    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
-    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
-
-
-def poisson_loglik_cells(Y, WV, W, V, col=None, t0=None, size=None):
-    Yb = jax.lax.dynamic_slice_in_dim(Y[:, col], t0, size, axis=1)
-    if Yb.ndim > WV.ndim:
-        WV = WV[..., None]
-    rate = jnp.clip(WV, 1e-8, None)
-    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
-    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
-    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+def poisson_cellfn(y, tau):
+    # elementwise contract (0 on NaN, y-only terms omitted); cells/block
+    # derive from it (models/constrained.py)
+    rate = jnp.clip(tau, 1e-8, None)
+    y0 = jnp.where(jnp.isnan(y), 0.0, y)
+    return jnp.where(jnp.isnan(y), 0.0, y0 * jnp.log(rate) - rate)
 
 
 def main():
@@ -84,6 +74,18 @@ def main():
                     help="redblack batches all same-color time blocks "
                          "across all columns into one GASS call "
                          "(2-3 rounds/sweep instead of T/bs)")
+    ap.add_argument("--data-dtype", default="f32",
+                    choices=["f32", "f16", "bf16"],
+                    help="storage dtype of the prepared data tensor: f16 "
+                         "halves the likelihood passes' HBM reads (the "
+                         "dominant traffic here; counts <= 2048 exact)")
+    ap.add_argument("--nchains", type=int, default=1,
+                    help="vmapped chain batch at this shape (does the "
+                         "memory-bound regime amortize like GDELT did?)")
+    ap.add_argument("--no-interweave", action="store_true",
+                    help="disable the ASIS scale moves (round-4 "
+                         "comparability: r4 rooflines had no interweave)")
+    ap.add_argument("--tag", default=None, help="output filename suffix")
     args = ap.parse_args()
 
     n, m, T, k = args.nrows, args.ncols, args.ndepth, args.nembeds
@@ -94,30 +96,37 @@ def main():
     Y = rng.poisson(np.einsum("nk,mtk->nmt", W0, V0)).astype(np.float32)
     Constraints = np.concatenate([np.eye(T), np.zeros((T, 1))], axis=1)
 
-    kwargs = dict(loglikelihood_block=poisson_loglik_block)
+    kwargs = dict(loglikelihood_cellfn=poisson_cellfn)
     if args.v_schedule == "redblack":
-        kwargs.update(v_schedule="redblack",
-                      loglikelihood_cells=poisson_loglik_cells)
+        kwargs.update(v_schedule="redblack")
     if args.fused:
-        def poisson_cellfn(y, tau):
-            # no gammaln(y+1): candidate-independent terms cancel in GASS
-            # (cur_ll and every candidate use the same fn, gass.py:96) and
-            # lgamma has no Pallas TPU lowering (ops/fused_ll.py notes)
-            rate = jnp.clip(tau, 1e-8, None)
-            y0 = jnp.where(jnp.isnan(y), 0.0, y)
-            ll = y0 * jnp.log(rate) - rate
-            return jnp.where(jnp.isnan(y), 0.0, ll)
-        kwargs["loglikelihood_cellfn"] = poisson_cellfn
+        kwargs["fuse_cells"] = True
     if args.v_block_size is not None:
         kwargs["v_block_size"] = args.v_block_size
+    if args.data_dtype != "f32":
+        kwargs["data_dtype"] = dict(f16=jnp.float16,
+                                    bf16=jnp.bfloat16)[args.data_dtype]
+    if args.no_interweave:
+        kwargs["interweave"] = False
+    nch = args.nchains
     model = ConstrainedNonconjugateBayesianTensorFiltering(
         n, m, T, poisson_loglik, Constraints, nembeds=k, tf_order=2,
         sigma2_init=0.5, lam2_init=0.1, W_init=W0, V_init=V0,
-        gass_ngrid=args.ngrid, seed=0, **kwargs)
+        gass_ngrid=args.ngrid, seed=0, nchains=nch, **kwargs)
 
     pdata = model.prepare_data(Y)
-    sweep = jax.jit(model._make_sweep())
-    state0 = {kk: v[0] for kk, v in model.state.items()}
+    if nch > 1:
+        vsweep = jax.jit(model._batched_sweep(model._make_sweep()))
+        base_keys = jnp.arange(nch, dtype=jnp.uint32)
+
+        def sweep(st, pd, key):
+            ks = jax.vmap(lambda c: jax.random.fold_in(key, c))(base_keys)
+            return vsweep(st, pd, ks)
+        sweep = jax.jit(sweep)
+        state0 = dict(model.state)
+    else:
+        sweep = jax.jit(model._make_sweep())
+        state0 = {kk: v[0] for kk, v in model.state.items()}
     keys = [jax.random.fold_in(jax.random.PRNGKey(0), i)
             for i in range(args.nreps)]
     jax.device_get(keys[-1])
@@ -139,13 +148,17 @@ def main():
         return best
 
     full_ms = timed(model)
+    if nch > 1:
+        full_ms = full_ms / nch  # report per chain-sweep
 
-    compiled = jax.jit(model._make_sweep()).lower(state0, pdata,
-                                                  keys[0]).compile()
+    compiled = sweep.lower(state0, pdata, keys[0]).compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops = float(ca.get("flops", 0.0))
     nbytes = float(ca.get("bytes accessed", 0.0))
+    if nch > 1:  # per chain-sweep, consistent with full_ms
+        flops /= nch
+        nbytes /= nch
 
     res = {
         "shape": f"{n}x{m}x{T} k={k} ngrid={args.ngrid}",
@@ -158,23 +171,30 @@ def main():
         "achieved_gbps": round(nbytes / full_ms * 1e-6, 1),
         "bw_util": round(nbytes / full_ms * 1e3 / PEAK_BW, 4),
     }
-    # per-block attribution at this shape
-    for name, flag in (("W_gass", "sample_W"), ("V_gass", "sample_V")):
-        setattr(model, flag, False)
-        sweep = jax.jit(model._make_sweep())
-        out = sweep(state0, pdata, keys[0])
-        jax.device_get(out["W"])
-        ms = timed(model)
-        res[f"ms_without_{name}"] = round(ms, 2)
-        res[f"{name}_ms"] = round(full_ms - ms, 2)
-        setattr(model, flag, True)
-        sweep = jax.jit(model._make_sweep())
-        out = sweep(state0, pdata, keys[0])  # restore compiled full sweep
-        jax.device_get(out["W"])
+    # per-block attribution at this shape (single-chain runs only; the
+    # chain-batched arm reports aggregate numbers)
+    if nch == 1:
+        for name, flag in (("W_gass", "sample_W"), ("V_gass", "sample_V")):
+            setattr(model, flag, False)
+            sweep = jax.jit(model._make_sweep())
+            out = sweep(state0, pdata, keys[0])
+            jax.device_get(out["W"])
+            ms = timed(model)
+            res[f"ms_without_{name}"] = round(ms, 2)
+            res[f"{name}_ms"] = round(full_ms - ms, 2)
+            setattr(model, flag, True)
+            sweep = jax.jit(model._make_sweep())
+            out = sweep(state0, pdata, keys[0])  # restore compiled full sweep
+            jax.device_get(out["W"])
 
+    res["nchains"] = nch
+    res["data_dtype"] = args.data_dtype
+    res["interweave"] = not args.no_interweave
     print(json.dumps(res, indent=1))
     suffix = ("_fused" if args.fused else "") + (
         "_redblack" if args.v_schedule == "redblack" else "")
+    if args.tag:
+        suffix += "_" + args.tag
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "roofline%s.json" % suffix)
     with open(path, "w") as f:

@@ -55,7 +55,7 @@ def run_tpu(nsweeps):
         rec = {}
         for kernel in ("joint", "blocked"):
             kw = dict(v_block_size=None) if kernel == "joint" else \
-                dict(loglikelihood_block=headline.poisson_loglik_block)
+                dict(loglikelihood_cellfn=headline.poisson_cellfn)
             model = ConstrainedNonconjugateBayesianTensorFiltering(
                 n, m, T, headline.poisson_loglik, C, nembeds=K, tf_order=2,
                 sigma2_init=0.5, lam2_init=0.1, W_init=W0, V_init=V0,

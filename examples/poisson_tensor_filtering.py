@@ -41,31 +41,16 @@ def rowcol_loglikelihood(Y, WV, W, V, row=None, col=None):
     return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
 
 
-def rowcol_loglikelihood_block(Y, WV, W, V, row=None, col=None, tslice=None):
-    # depth-decomposable fast path for the blocked V updates: the Poisson
-    # likelihood factorizes over cells, so the block's cells alone drive the
-    # slice test (out-of-block terms are constant within a block update)
-    s0, e0 = tslice
-    Yb = Y[:, col, s0:e0]
-    if Yb.ndim > WV.ndim:
-        WV = WV[..., None]
-    rate = jnp.clip(WV, 1e-8, None)
-    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
-    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
-    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
-
-
-def rowcol_loglikelihood_cells(Y, WV, W, V, col=None, t0=None, size=None):
-    # cellwise contract for the red-black blocked schedule
-    # (models/constrained.py loglikelihood_cells: t0 traced, size static)
-    import jax
-    Yb = jax.lax.dynamic_slice_in_dim(Y[:, col], t0, size, axis=1)
-    if Yb.ndim > WV.ndim:
-        WV = WV[..., None]
-    rate = jnp.clip(WV, 1e-8, None)
-    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
-    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
-    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+def rowcol_cellfn(y, tau):
+    # the ONE extra likelihood contract: elementwise Poisson cell loglik,
+    # 0 on NaN, y-only terms omitted (they cancel in the GASS slice test).
+    # The framework derives loglikelihood_cells (red-black schedule) and
+    # loglikelihood_block (sequential blocked schedule) from it
+    # (models/constrained.py:_cells_from_cellfn) — round 4 hand-wrote all
+    # three variants of this same likelihood.
+    rate = jnp.clip(tau, 1e-8, None)
+    y0 = jnp.where(jnp.isnan(y), 0.0, y)
+    return jnp.where(jnp.isnan(y), 0.0, y0 * jnp.log(rate) - rate)
 
 
 def init_model(nembeds, tf_order=0, lam2=0.1, sigma2=0.5, monotone=False,
@@ -81,7 +66,7 @@ def init_model(nembeds, tf_order=0, lam2=0.1, sigma2=0.5, monotone=False,
         nrows, ncols, ndepth, rowcol_loglikelihood, Constraints,
         nembeds=nembeds, tf_order=tf_order, sigma2_init=sigma2,
         lam2_init=lam2, seed=seed,
-        loglikelihood_block=rowcol_loglikelihood_block, **kwargs)
+        loglikelihood_cellfn=rowcol_cellfn, **kwargs)
 
 
 def setup_sampler(model, Y, monotone=False, rng=None):

@@ -54,6 +54,18 @@ def make_loglikelihood(likelihood, with_features: bool):
             x_i = X[row]
             ce = x_i * jnp.log(WU) + (1 - x_i) * jnp.log(1 - WU)
             z = z + jnp.sum(jnp.where(jnp.isnan(x_i), 0.0, ce))
+        elif col is None:
+            # full-tensor call (logprob / the ASIS sigma2 interweave,
+            # models/constrained.py:_interweave_scales): the feature term
+            # p(X | W U) depends on W, so it must be included for ALL
+            # rows here — omitting it would bias the W-scale move. Column
+            # updates (col is not None) may still omit it: it is constant
+            # in V, so it cancels from the GASS slice test.
+            X, U = data["X"], data["U"]
+            WU = jnp.clip(jnp.einsum("nk,pk->np", W,
+                                     U[:, :W.shape[-1]]), 1e-6, 1 - 1e-6)
+            ce = X * jnp.log(WU) + (1 - X) * jnp.log(1 - WU)
+            z = z + jnp.sum(jnp.where(jnp.isnan(X), 0.0, ce))
         return z
 
     return with_X

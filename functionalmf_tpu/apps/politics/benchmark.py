@@ -38,28 +38,12 @@ def rowcol_loglikelihood(Y, WV, W, V, row=None, col=None):
     return jnp.sum(jnp.where(jnp.isnan(Y), 0.0, ll))
 
 
-def rowcol_loglikelihood_block(Y, WV, W, V, row=None, col=None, tslice=None):
-    # depth-decomposable fast path (Poisson factorizes over cells): only the
-    # block's cells drive the blocked-V slice test
-    s0, e0 = tslice
-    Yb = Y[:, col, s0:e0]
-    if Yb.ndim > WV.ndim:
-        WV = WV[..., None]
-    rate = jnp.clip(WV, 1e-8, None)
-    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
-    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
-    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
-
-
-def rowcol_loglikelihood_cells(Y, WV, W, V, col=None, t0=None, size=None):
-    # cellwise contract for the red-black blocked schedule
-    Yb = jax.lax.dynamic_slice_in_dim(Y[:, col], t0, size, axis=1)
-    if Yb.ndim > WV.ndim:
-        WV = WV[..., None]
-    rate = jnp.clip(WV, 1e-8, None)
-    Y0 = jnp.where(jnp.isnan(Yb), 0.0, Yb)
-    ll = Y0 * jnp.log(rate) - rate - gammaln(Y0 + 1.0)
-    return jnp.sum(jnp.where(jnp.isnan(Yb), 0.0, ll))
+def rowcol_cellfn(y, tau):
+    # elementwise Poisson cell loglik (0 on NaN, y-only terms omitted);
+    # loglikelihood_cells/_block derive from it (models/constrained.py)
+    rate = jnp.clip(tau, 1e-8, None)
+    y0 = jnp.where(jnp.isnan(y), 0.0, y)
+    return jnp.where(jnp.isnan(y), 0.0, y0 * jnp.log(rate) - rate)
 
 
 def ep_from_nmf(Y, W, V):
@@ -125,6 +109,10 @@ def main(argv=None):
                              "target instead of refitting PGDS in-process")
     parser.add_argument("--no-pgds", action="store_true",
                         help="skip the PGDS arm; warm-start NMF from Y_train")
+    parser.add_argument("--nchains", type=int, default=1,
+                        help="vmapped chains for the BTF arm; results pool "
+                             "chain-major and metrics.json records the "
+                             "split-R-hat across chains")
     parser.add_argument("--nb", action="store_true",
                         help="also fit the NegBinom BTF arm (the variant "
                              "kept commented out in the reference at "
@@ -161,10 +149,8 @@ def main(argv=None):
         nembeds=nembeds, tf_order=2, sigma2_init=0.5, lam2_init=0.1,
         ep_approx=ep, W_init=W0, V_init=V0, seed=args.seed,
         v_block_size=args.v_block_size or None,
-        v_schedule=args.v_schedule,
-        loglikelihood_cells=(rowcol_loglikelihood_cells
-                             if args.v_schedule == "redblack" else None),
-        loglikelihood_block=rowcol_loglikelihood_block)
+        v_schedule=args.v_schedule, nchains=args.nchains,
+        loglikelihood_cellfn=rowcol_cellfn)
 
     print("Running Gibbs sampler")
     results = model.run_gibbs(Y_train, nburn=args.nburn, nthin=args.nthin,
@@ -232,6 +218,14 @@ def main(argv=None):
         Rs = nb_res["R"].reshape(nb_res["R"].shape[0], 1, 1, 1)
         Mu_nb = Rs * P / (1 - P)
         report("NB-BTF", Mu_nb)
+
+    if "rhat" in results:
+        # multi-chain convergence evidence (VERDICT round-4 item 7)
+        table["BTF"]["rhat_max"] = float(results["rhat"]["max"])
+        table["BTF"].update({f"rhat_{k}": float(v)
+                             for k, v in results["rhat"].items()
+                             if k != "max"})
+        print("BTF split-R-hat:", results["rhat"])
 
     if args.outdir:
         os.makedirs(args.outdir, exist_ok=True)

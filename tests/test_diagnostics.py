@@ -3,7 +3,7 @@ import pytest
 import numpy as np
 
 from functionalmf_tpu.utils.diagnostics import (
-    effective_sample_size, min_ess_per_param, split_rhat)
+    effective_sample_size, min_ess_per_param, split_rhat, pooled_min_ess)
 
 
 def test_ess_iid(rng):
@@ -32,6 +32,28 @@ def test_min_ess_per_param(rng):
     d = {"W": rng.normal(size=(500, 3, 2)), "lam2": rng.normal(size=(500, 1))}
     ess = min_ess_per_param(d, keys=("W", "lam2"))
     assert 100 < ess <= 500
+
+
+def test_pooled_min_ess(rng):
+    """Pooled ESS of C chains of iid draws ~ total draw count; an AR(1)
+    chain-major stack sums per-chain ESS, NOT C x per-draw count."""
+    C, n = 4, 800
+    iid = rng.normal(size=(C * n, 2))
+    ess = pooled_min_ess({"W": iid}, C, keys=("W",))
+    assert 0.5 * C * n < ess <= C * n
+    rho = 0.95
+    e = rng.normal(size=(C, n))
+    x = np.zeros((C, n))
+    for i in range(1, n):
+        x[:, i] = rho * x[:, i - 1] + e[:, i]
+    ess_ar = pooled_min_ess({"W": x.reshape(C * n, 1)}, C, keys=("W",))
+    expect = C * n * (1 - rho) / (1 + rho)
+    assert ess_ar < 0.2 * C * n
+    assert 0.3 * expect < ess_ar < 3.0 * expect, (ess_ar, expect)
+    # detail identifies the slowest key/index
+    ess_d, k, j = pooled_min_ess({"W": x.reshape(C * n, 1)}, C,
+                                 keys=("W",), detail=True)
+    assert (ess_d, k, j) == (ess_ar, "W", 0)
 
 
 def test_split_rhat(rng):

@@ -106,12 +106,19 @@ def test_cellfn_y_only_terms_cancel(rng):
         model = ConstrainedNonconjugateBayesianTensorFiltering(
             nr, nc, nd, loglik, Con, nembeds=k, W_init=W0, V_init=V0,
             gass_ngrid=8, seed=0, v_block_size=3,
-            loglikelihood_cellfn=fn)
+            loglikelihood_cellfn=fn, fuse_cells=True)
         res = model.run_gibbs(Y, nburn=3, nthin=1, nsamples=3,
                               verbose=False)
         draws[tag] = (np.asarray(res["W"]), np.asarray(res["V"]))
-    np.testing.assert_array_equal(draws["full"][0], draws["noconst"][0])
-    np.testing.assert_array_equal(draws["full"][1], draws["noconst"][1])
+    # allclose, not bit-equal: the constant cancels mathematically, but
+    # dropping the per-cell gammaln changes partial-sum rounding, so a
+    # slice comparison could flip under a different backend/shape (ADVICE
+    # round-4); on the pinned CPU/interpret config the draws coincide to
+    # float32 roundoff
+    np.testing.assert_allclose(draws["full"][0], draws["noconst"][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(draws["full"][1], draws["noconst"][1],
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.slow
@@ -142,7 +149,8 @@ def test_constrained_model_fused_cellfn_end_to_end(rng):
     mu_true = np.einsum("nk,mtk->nmt", W0, V0)
     results = {}
     for tag, extra in (("einsum", {}),
-                       ("fused", {"loglikelihood_cellfn": poisson_cell})):
+                       ("fused", {"loglikelihood_cellfn": poisson_cell,
+                                  "fuse_cells": True})):
         model = ConstrainedNonconjugateBayesianTensorFiltering(
             nr, nc, nd, loglik, Con, nembeds=k, W_init=W0, V_init=V0,
             gass_ngrid=16, seed=0, v_block_size=3, **extra)

@@ -1135,7 +1135,24 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
             CC = jnp.asarray(self.Constraints_C)
             Av = jnp.einsum("jt,nmt->nmj", CA, tau, precision=_hp)
             cs_curve = jnp.broadcast_to(CC[None, None, :], Av.shape)
+        # Full-tensor likelihood for the AA slice targets. When a cellfn is
+        # available (y-only terms omitted by contract — they are constant
+        # in the rescale s, so the slice target is unchanged) use it
+        # directly: the user's full loglikelihood typically recomputes
+        # y-only transcendentals like gammaln(y+1) on every slice
+        # evaluation, which at 128x128x256 cost ~7.5 ms/sweep (measured,
+        # bench/roofline_redblack.json round-5 first pass).
         user_ll = self.loglikelihood
+        cellfn = self.loglikelihood_cellfn
+        if cellfn is not None and self._data_single_tensor(pdata):
+            _leaf = jax.tree_util.tree_leaves(pdata)[0]
+
+            def full_ll(tau_s, W_s, V_s):
+                t = tau_s if _leaf.ndim == tau_s.ndim else tau_s[..., None]
+                return jnp.sum(cellfn(_leaf, jnp.broadcast_to(t, _leaf.shape)))
+        else:
+            def full_ll(tau_s, W_s, V_s):
+                return user_ll(pdata, tau_s, W_s, V_s, row=None, col=None)
         LOG_LAM2_MIN = float(np.log(1e-5))  # lam2 support clamp, matching
         # the conjugate draw's lam2_min (samplers/horseshoe.py:resample_lam2)
 
@@ -1157,7 +1174,7 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
 
             def logdens(x):
                 s = jnp.exp(0.5 * (x - x0))
-                ll = user_ll(pdata, s * tau, W, s * V, row=None, col=None)
+                ll = full_ll(s * tau, W, s * V)
                 # prior of x = log lam2 under 1/lam2 ~ Gamma(1/2, rate=1/a):
                 # p(x) ∝ exp(-x/2 - e^{-x}/a)
                 return -0.5 * x - jnp.exp(-x) * inv_a + ll
@@ -1198,7 +1215,7 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
 
             def logdens(x):
                 s = jnp.exp(0.5 * (x - x0))
-                ll = user_ll(pdata, s * tau, s * W, V, row=None, col=None)
+                ll = full_ll(s * tau, s * W, V)
                 # x = log sigma2 under 1/sigma2 ~ Gamma(a, rate=b):
                 # p(x) ∝ exp(-a x - b e^{-x})
                 return -a * x - b * jnp.exp(-x) + ll

@@ -508,8 +508,11 @@ def test_gass_repeats_mix_faster(rng):
     Y = rng.poisson(np.einsum("nk,mtk->nmt", W0, V0)).astype(float)
     C = np.concatenate([np.eye(T), np.zeros((T, 1))], axis=1)
 
+    # interweave off: the round-5 scale moves rescale W every sweep in
+    # BOTH arms, diluting the repeats ratio this test isolates
     common = dict(nembeds=k, tf_order=1, sigma2_init=0.5, lam2_init=0.1,
-                  W_init=W0, V_init=V0, gass_ngrid=16, seed=2)
+                  W_init=W0, V_init=V0, gass_ngrid=16, seed=2,
+                  interweave=False)
     moves = {}
     for reps in (1, 3):
         mod = ConstrainedNonconjugateBayesianTensorFiltering(

@@ -195,6 +195,22 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                                         # Gaussian normalizer and the
                                         # reparameterization Jacobian
                                         # cancel (samplers/slice1d.py).
+                 factor_rebalance=True,  # per-factor scale-split rebalance
+                                        # inside the interweave block: the
+                                        # RELATIVE scale of each rank-1
+                                        # factor, (W[:,kk], V[:,:,kk]) ->
+                                        # (W[:,kk]/c, c V[:,:,kk]), is
+                                        # likelihood-invariant (tau's kk-th
+                                        # rank-1 term is unchanged) and
+                                        # only prior-pinned, exactly like
+                                        # the global W<->V split — so it
+                                        # random-walks too, and it loads on
+                                        # every V[:, :, kk] coordinate (the
+                                        # V-tail min-ESS after the global
+                                        # moves, BENCH_r05). One collapsed
+                                        # 1-D slice draw per factor, no
+                                        # likelihood evaluations. Only
+                                        # active when interweave=True.
                  **kwargs):
         super().__init__(nrows, ncols, ndepth, **kwargs)
         self.loglikelihood = loglikelihood
@@ -211,6 +227,7 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
         if fuse_cells and loglikelihood_cellfn is None:
             raise ValueError("fuse_cells=True requires loglikelihood_cellfn")
         self.interweave = bool(interweave)
+        self.factor_rebalance = bool(factor_rebalance)
         # pallas kernels compile for real TPUs; elsewhere (CPU test mesh)
         # run them in interpreter mode
         self._fused_interpret = not any(
@@ -1109,6 +1126,101 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
             W = W * c_w
             V = V * c_v
             state = dict(state, W=state["W"] * c_w, V=V)
+            Qbar_cur = jnp.exp(2.0 * x_c) * Qbar
+
+            # --- per-factor scale-split rebalance. The global move above
+            # fixes the OVERALL W<->V split; the relative scale of each
+            # rank-1 factor, (W[:,kk], V[:,:,kk]) -> (W[:,kk]/c, c V[:,:,kk]),
+            # is likewise likelihood-invariant (tau's kk-th term W[:,kk]
+            # V[:,:,kk]^T is unchanged) and only prior-pinned, so it
+            # random-walks the same way — and it loads on every V[:,:,kk]
+            # coordinate, which is where the min-ESS moved once the global
+            # moves landed (BENCH_r05 slowest param = a V coordinate).
+            # Same collapsed conditional restricted to factor kk, the other
+            # factors entering the two log terms as constants:
+            #   log pi(x) = (dVk - dWk) x
+            #     - (a_s + dW/2) log(b_s + (W2_rest + e^{-2x} W2_kk)/2)
+            #     - (1/2 + dV/2) log(1/lam2_a + (Q_rest + e^{2x} Q_kk)/2).
+            # No likelihood evaluations; curve constraints (on tau) cannot
+            # bind; Row_constraints (on W) give one feasible s-interval per
+            # factor since the constraint values are affine in s. None of
+            # the k moves condition on sigma2 / lam2, so the single
+            # conjugate redraw after the loop keeps the partially-collapsed
+            # sequencing valid.
+            if self.factor_rebalance and k > 1:
+                w2k = jnp.sum(W * W, axis=0)                       # (k,)
+                qk = jnp.clip(
+                    jnp.sum(deltas * deltas * inv_tau2[:, :, None],
+                            axis=(0, 1)) * jnp.exp(2.0 * x_c),
+                    1e-20, None)                                   # (k,)
+                dwk = np.asarray(self._wmask).sum(axis=0)          # (k,)
+                dvk = float(self.ncols * self.ndepth)
+                if not self.sample_sigma2:
+                    inv_s2_f = 1.0 / jnp.clip(state["sigma2"], 1e-20, None)
+                if not self.sample_lam2:
+                    inv_l2_f = 1.0 / jnp.clip(state["lam2"], 1e-20, None)
+                for kk in range(k):
+                    W2_rest = jnp.sum(w2k) - w2k[kk]
+                    Q_rest = jnp.sum(qk) - qk[kk]
+                    w2_kk = w2k[kk]
+                    q_kk = qk[kk]
+
+                    if self.sample_sigma2:
+                        def wt(x, W2_rest=W2_rest, w2_kk=w2_kk):
+                            return -(a_s + dW_free / 2.0) * jnp.log(
+                                b_s + (W2_rest
+                                       + jnp.exp(-2.0 * x) * w2_kk) / 2.0)
+                    else:
+                        def wt(x, w2_kk=w2_kk):
+                            return -0.5 * jnp.exp(-2.0 * x) * w2_kk * inv_s2_f
+                    if self.sample_lam2:
+                        def vt(x, Q_rest=Q_rest, q_kk=q_kk):
+                            return -(0.5 + dV_free / 2.0) * jnp.log(
+                                inv_la + (Q_rest
+                                          + jnp.exp(2.0 * x) * q_kk) / 2.0)
+                    else:
+                        def vt(x, q_kk=q_kk):
+                            return -0.5 * jnp.exp(2.0 * x) * q_kk * inv_l2_f
+
+                    jac = float(dvk - float(dwk[kk]))
+
+                    def logdens_f(x, wt=wt, vt=vt, jac=jac):
+                        return jac * x + wt(x) + vt(x)
+
+                    lo_f = jnp.asarray(-6.0, self.dtype)
+                    hi_f = jnp.asarray(6.0, self.dtype)
+                    if self._has_row_constraints:
+                        # constraint values are affine in s = e^{-x}:
+                        # rest + s * part_kk >= c, one interval in s > 0
+                        RC = state["Row_constraints"]
+                        rvf = jnp.einsum("nk,jk->nj", W, RC[:, :k],
+                                         precision=_hp)
+                        pk = W[:, kk, None] * RC[None, :, kk]
+                        restv = rvf - pk
+                        cs_r = jnp.broadcast_to(RC[None, :, k], pk.shape)
+                        num = cs_r - restv
+                        ratio = num / jnp.where(pk == 0, 1.0, pk)
+                        s_lo = jnp.max(jnp.where(pk > 0, ratio, -jnp.inf))
+                        s_hi = jnp.min(jnp.where(pk < 0, ratio, jnp.inf))
+                        s_lo = jnp.clip(s_lo, 1e-6, None) * (1.0 + 1e-6)
+                        s_hi = jnp.clip(s_hi, None, 1e6) * (1.0 - 1e-6)
+                        lo_f = jnp.maximum(lo_f, -jnp.log(s_hi))
+                        hi_f = jnp.minimum(hi_f, -jnp.log(s_lo))
+                        lo_f = jnp.minimum(lo_f, 0.0)
+                        hi_f = jnp.maximum(hi_f, 0.0)
+                    x_f, _ = shrink_slice_1d(
+                        _fold(key, 10 + kk), jnp.zeros((), self.dtype),
+                        logdens_f, lo_f, hi_f)
+                    f_w = jnp.exp(-x_f).astype(self.dtype)
+                    f_v = jnp.exp(x_f).astype(self.dtype)
+                    W = W.at[:, kk].multiply(f_w)
+                    V = V.at[:, :, kk].multiply(f_v)
+                    w2k = w2k.at[kk].multiply(f_w * f_w)
+                    qk = qk.at[kk].multiply(f_v * f_v)
+                    state = dict(state,
+                                 W=state["W"].at[:, kk].multiply(f_w), V=V)
+                Qbar_cur = jnp.sum(qk)
+
             # redraw the collapsed scales at the new split (their exact
             # conjugate conditionals; skipping this would leave stale
             # values that the collapse removed from the state)
@@ -1116,9 +1228,8 @@ class ConstrainedNonconjugateBayesianTensorFiltering(BayesianTensorFiltering):
                 state = self._update_sigma2(state, _fold(key, 3))
             if self.sample_lam2:
                 from functionalmf_tpu.samplers.horseshoe import resample_lam2
-                s_lam = jnp.exp(2.0 * x_c) * Qbar
                 lam2_new, lam2_a_new = resample_lam2(
-                    _fold(key, 4), s_lam, state["lam2_a"], self.nD,
+                    _fold(key, 4), Qbar_cur, state["lam2_a"], self.nD,
                     self.ncols, self.nembeds)
                 state = dict(state, lam2=lam2_new.astype(self.dtype),
                              lam2_a=lam2_a_new.astype(self.dtype))
